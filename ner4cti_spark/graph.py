@@ -1,0 +1,99 @@
+"""Triple materialization: mentions + entities → (subj, pred, obj).
+
+Predicates per FIXTURES.md §6: mentions / same_as / co_occurs_with /
+has_type / found_in_repo. All joins here are broadcast joins — the alias
+table is vocabulary-sized (distinct surfaces), never corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_uri() -> "F.Column":
+    return F.concat_ws("@", F.col("repo"), F.col("path"), F.col("commit"))
+
+
+def link_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
+    """Attach canonical entity to each mention via broadcast alias join."""
+    alias_map = F.broadcast(
+        entities.select("etype", F.col("alias").alias("surface"), "canonical", "entity_id")
+    )
+    return mentions.join(alias_map, ["etype", "surface"], "left").withColumn(
+        "canonical", F.coalesce("canonical", "surface")
+    )
+
+
+def build_triples(linked: DataFrame, entities: DataFrame) -> DataFrame:
+    """Union of predicate families, all distinct, with provenance."""
+    m = linked
+    mentions_t = m.select(
+        doc_uri().alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("canonical").alias("obj"),
+        "repo", "commit", "sha256",
+    )
+    has_type_t = m.select(
+        F.col("canonical").alias("subj"),
+        F.lit("has_type").alias("pred"),
+        F.col("etype").alias("obj"),
+        "repo", "commit", "sha256",
+    )
+    found_in_t = m.select(
+        F.col("canonical").alias("subj"),
+        F.lit("found_in_repo").alias("pred"),
+        F.col("repo").alias("obj"),
+        "repo", "commit", "sha256",
+    )
+    same_as_t = (
+        entities.filter(F.col("alias") != F.col("canonical"))
+        .select(
+            F.col("alias").alias("subj"),
+            F.lit("same_as").alias("pred"),
+            F.col("canonical").alias("obj"),
+            F.lit(None).cast("string").alias("repo"),
+            F.lit(None).cast("string").alias("commit"),
+            F.lit(None).cast("string").alias("sha256"),
+        )
+    )
+    # co-occurrence within a sentence: self-join on sentence key over the
+    # (small) per-sentence distinct canonical sets via collect_set — avoids
+    # a corpus-scale self-join; sentences have few mentions each.
+    per_sent = (
+        m.groupBy("repo", "path", "commit", "sha256", "sent_id")
+        .agg(F.sort_array(F.collect_set("canonical")).alias("ents"))
+        .filter(F.size("ents") >= 2)
+    )
+    cooc_t = (
+        per_sent.select(
+            "repo", "commit", "sha256",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ents"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ents"), i + F.lit(2), F.size("ents")),
+                            lambda y: F.struct(x.alias("subj"), y.alias("obj")),
+                        ),
+                    )
+                )
+            ).alias("pair"),
+        )
+        .select(
+            F.col("pair.subj").alias("subj"),
+            F.lit("co_occurs_with").alias("pred"),
+            F.col("pair.obj").alias("obj"),
+            "repo", "commit", "sha256",
+        )
+    )
+    cols = ["subj", "pred", "obj", "repo", "commit", "sha256"]
+    out = (
+        mentions_t.select(cols)
+        .unionByName(has_type_t.select(cols))
+        .unionByName(found_in_t.select(cols))
+        .unionByName(same_as_t.select(cols))
+        .unionByName(cooc_t.select(cols))
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+    return out

@@ -1,0 +1,110 @@
+"""Eval-mode neural forward passes in vectorized numpy.
+
+Re-derivations (not ports) of the reference kernels — SURVEY §2.9:
+M1 char CNN (char_CNN.py:10-49), M2 feature fusion (model.py:190-215),
+M3 BiLSTM (model.py:394-410), M4 multi-head attention
+(Transformer_module.py:15-60). All ops are batched over the full Arrow
+batch: shapes (B, T, ·); no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def stable_hash_ids(tokens: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic token→bucket hashing (FNV-1a over utf-8), replacing
+    the fitted word vocab (data_utils.py:109) when none is supplied."""
+    out = np.empty(tokens.shape, dtype=np.int64)
+    flat = tokens.ravel()
+    res = out.ravel()
+    for i, t in enumerate(flat):
+        h = np.uint64(14695981039346656037)
+        for b in t.encode("utf-8", "ignore"):
+            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+        res[i] = int(h) % n_buckets
+    return out
+
+
+def char_ids(tokens: list[list[str]], maxlen_t: int, char_maxlen: int, n_chars: int) -> np.ndarray:
+    """(B, T, C) char ids; printable-ascii ids 1..~97, 0=pad, OOV folds."""
+    B = len(tokens)
+    out = np.zeros((B, maxlen_t, char_maxlen), dtype=np.int64)
+    for b, sent in enumerate(tokens):
+        for t, tok in enumerate(sent[:maxlen_t]):
+            for c, ch in enumerate(tok[:char_maxlen]):
+                out[b, t, c] = (ord(ch) % (n_chars - 1)) + 1
+    return out
+
+
+def char_cnn(cids: np.ndarray, emb: np.ndarray, conv_w: np.ndarray, conv_b: np.ndarray,
+             kernel: int) -> np.ndarray:
+    """(B,T,C) ids → (B,T,D) via conv-over-chars + ReLU + max-pool (M1)."""
+    B, T, C = cids.shape
+    x = emb[cids]                                   # (B,T,C,Dc)
+    Dc = x.shape[-1]
+    # windows: (B,T,C-k+1,k*Dc)
+    nwin = C - kernel + 1
+    win = np.stack([x[:, :, i : i + kernel, :].reshape(B, T, -1) for i in range(nwin)], axis=2)
+    h = np.maximum(win @ conv_w + conv_b, 0.0)       # (B,T,nwin,Dc)
+    return h.max(axis=2)                             # (B,T,Dc)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+
+def lstm_layer(x: np.ndarray, wx: np.ndarray, wh: np.ndarray, b: np.ndarray,
+               reverse: bool = False) -> np.ndarray:
+    """One directional LSTM over (B,T,D) → (B,T,H). h0/c0 = 0 (pinned —
+    the reference's random init at model.py:217-220 is a documented
+    deviation-for-determinism). Gate order: i,f,g,o."""
+    B, T, _ = x.shape
+    H = wh.shape[0]
+    h = np.zeros((B, H), dtype=np.float32)
+    c = np.zeros((B, H), dtype=np.float32)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    out = np.zeros((B, T, H), dtype=np.float32)
+    for t in steps:
+        g = x[:, t, :] @ wx + h @ wh + b
+        i, f, gg, o = np.split(g, 4, axis=1)
+        i, f, o = _sigmoid(i), _sigmoid(f), _sigmoid(o)
+        c = f * c + i * np.tanh(gg)
+        h = o * np.tanh(c)
+        out[:, t, :] = h
+    return out
+
+
+def bilstm(x: np.ndarray, w: dict[str, np.ndarray], layers: int) -> np.ndarray:
+    """Stacked BiLSTM (M3): concat fw/bw per layer."""
+    h = x
+    for layer in range(layers):
+        fw = lstm_layer(h, w[f"lstm{layer}_fw_wx"], w[f"lstm{layer}_fw_wh"], w[f"lstm{layer}_fw_b"])
+        bw = lstm_layer(
+            h, w[f"lstm{layer}_bw_wx"], w[f"lstm{layer}_bw_wh"], w[f"lstm{layer}_bw_b"], reverse=True
+        )
+        h = np.concatenate([fw, bw], axis=-1)
+    return h
+
+
+def multihead_attention(x: np.ndarray, w: dict[str, np.ndarray], n_heads: int,
+                        mask: np.ndarray) -> np.ndarray:
+    """Scaled-dot multi-head self-attention + residual + LayerNorm (M4).
+    mask: (B,T) bool, True=valid."""
+    B, T, D = x.shape
+    Dh = D // n_heads
+
+    def split_heads(y: np.ndarray) -> np.ndarray:
+        return y.reshape(B, T, n_heads, Dh).transpose(0, 2, 1, 3)  # (B,h,T,Dh)
+
+    q, k, v = (split_heads(x @ w[f"attn_{n}w"]) for n in ("q", "k", "v"))
+    scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(Dh)             # (B,h,T,T)
+    scores = np.where(mask[:, None, None, :], scores, -1e9)
+    scores = scores - scores.max(axis=-1, keepdims=True)
+    p = np.exp(scores)
+    p = p / p.sum(axis=-1, keepdims=True)
+    ctx = (p @ v).transpose(0, 2, 1, 3).reshape(B, T, D) @ w["attn_ow"]
+    y = x + ctx
+    mu = y.mean(axis=-1, keepdims=True)
+    sd = y.std(axis=-1, keepdims=True) + 1e-5
+    return (y - mu) / sd * w["attn_ln_g"] + w["attn_ln_b"]

@@ -1,0 +1,183 @@
+"""The tagger kernel: Arrow batch of sentences → BIO tags → spans.
+
+Composition mirrors the reference flagship forward (M10, model.py:390-491):
+feature fusion (M1/M2) → BiLSTM (M3) → multi-head attention (M4) →
+emission head, gate-fused (M8, model.py:455-465) with a second emission
+branch, decoded by Viterbi over a BIO-constrained transition matrix
+(M9/W5, CRF_classes.py:112-192).
+
+Deviation (documented, SURVEY §5.2): the reference's BERT emission branch
+needs torch+HF checkpoints that are neither in this environment nor in
+the reference repo (.MISSING_LARGE_BLOBS). Its role — a high-precision
+lexical-semantic emission signal — is filled by a deterministic
+gazetteer/pattern emission model (`lexicon_emissions`), which is the
+branch that carries entity identity; the numpy network supplies the
+contextual branch. Swapping in real BERT weights changes only
+`neural_emissions`' internals, none of the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import gazetteer, nn
+from .crf import greedy_decode, viterbi_decode
+from .labels import ID2LABEL, LABEL2ID, N_LABELS, O_ID
+
+MAX_SEQ_LEN = 256  # arguments.py:33
+LEX_HIT = 8.0
+LEX_O = 2.0
+LEX_OTHER = -2.0
+
+
+class TaggerKernel:
+    def __init__(
+        self,
+        weights: dict[str, np.ndarray],
+        neural_scale: float = 0.1,
+        decode: str = "viterbi",
+    ) -> None:
+        self.w = weights
+        p = weights["_profile"]
+        (self.word_vocab, self.char_vocab, self.char_maxlen,
+         self.hidden, self.layers, self.heads, self.d_model) = (int(x) for x in p)
+        self.neural_scale = neural_scale
+        self.decode = decode
+        self.phrases = gazetteer.phrase_index()
+        self.max_phrase = gazetteer.MAX_PHRASE_LEN
+
+    # ---------------- emissions ----------------
+
+    def lexicon_emissions(self, sents: list[list[str]], T: int) -> np.ndarray:
+        """(B,T,L) log-potentials from longest-match gazetteer + indicator
+        patterns. The high-precision branch (stands in for M7)."""
+        B = len(sents)
+        em = np.full((B, T, N_LABELS), LEX_OTHER, dtype=np.float32)
+        em[:, :, O_ID] = LEX_O
+        for b, sent in enumerate(sents):
+            n = min(len(sent), T)
+            i = 0
+            while i < n:
+                matched = 0
+                for span in range(min(self.max_phrase, n - i), 0, -1):
+                    key = tuple(t.lower() for t in sent[i : i + span])
+                    hit = self.phrases.get(key)
+                    if hit is not None:
+                        etype = hit[0]
+                        em[b, i, LABEL2ID[f"B-{etype}"]] = LEX_HIT
+                        em[b, i, O_ID] = LEX_OTHER
+                        for j in range(i + 1, i + span):
+                            em[b, j, LABEL2ID[f"I-{etype}"]] = LEX_HIT
+                            em[b, j, O_ID] = LEX_OTHER
+                        matched = span
+                        break
+                if matched:
+                    i += matched
+                    continue
+                etype = gazetteer.classify_token(sent[i])
+                if etype is not None:
+                    em[b, i, LABEL2ID[f"B-{etype}"]] = LEX_HIT
+                    em[b, i, O_ID] = LEX_OTHER
+                i += 1
+        return em
+
+    def neural_emissions(self, sents: list[list[str]], T: int, mask: np.ndarray) -> np.ndarray:
+        """(B,T,L) contextual branch: M1→M2→M3→M4→linear, batched numpy."""
+        w = self.w
+        B = len(sents)
+        toks = np.array(
+            [[s[t] if t < len(s) else "" for t in range(T)] for s in sents], dtype=object
+        )
+        wid = nn.stable_hash_ids(toks, self.word_vocab)
+        word_v = w["word_emb"][wid]                                     # (B,T,50)
+        cids = nn.char_ids([list(s) for s in sents], T, self.char_maxlen, self.char_vocab)
+        char_v = nn.char_cnn(cids, w["char_emb"], w["char_conv_w"], w["char_conv_b"], 3)
+        # POS/case branches: casing is computable (F1); POS uses the casing
+        # class as a proxy id (no stanza in this environment — SURVEY F4)
+        case_id = np.array(
+            [[casing_class(s[t]) if t < len(s) else 0 for t in range(T)] for s in sents],
+            dtype=np.int64,
+        )
+        case_v = w["case_emb"][case_id]
+        pos_v = w["pos_emb"][case_id % w["pos_emb"].shape[0]]
+        x = np.concatenate([word_v, char_v, pos_v, case_v], axis=-1)    # (B,T,98)
+        h = np.tanh(x @ w["proj_w"] + w["proj_b"])                      # (B,T,d_model)
+        h = nn.bilstm(h, w, self.layers)                                # (B,T,2H)
+        h = nn.multihead_attention(h, w, self.heads, mask)
+        return h @ w["emit_w"] + w["emit_b"]                            # (B,T,L)
+
+    # ---------------- decode ----------------
+
+    def tag(self, sents: list[list[str]]) -> tuple[list[list[str]], np.ndarray]:
+        """Batch decode → (BIO tag lists aligned 1:1 with tokens, scores)."""
+        if not sents:
+            return [], np.zeros(0, dtype=np.float32)
+        lengths = np.array([min(len(s), MAX_SEQ_LEN) for s in sents], dtype=np.int64)
+        T = max(1, int(lengths.max()))
+        sents = [s[:MAX_SEQ_LEN] for s in sents]
+        mask = np.arange(T)[None, :] < lengths[:, None]
+        em = self.lexicon_emissions(sents, T)
+        if self.neural_scale > 0.0:
+            neural = self.neural_emissions(sents, T, mask)
+            # gate fusion M8: sigmoid gate over both branches
+            g = 1.0 / (1.0 + np.exp(-np.clip(
+                np.concatenate([em, neural], axis=-1) @ self.w["gate_w"] + self.w["gate_b"],
+                -30, 30)))
+            em = em + self.neural_scale * g * np.tanh(neural)
+        if self.decode == "viterbi":
+            paths, scores = viterbi_decode(em, self.w["trans"], lengths)
+        else:
+            paths = greedy_decode(em, lengths)
+            scores = np.take_along_axis(em, paths[:, :, None], axis=2)[:, :, 0].sum(axis=1)
+        tags = [
+            [ID2LABEL[int(paths[b, t])] for t in range(int(lengths[b]))]
+            for b in range(len(sents))
+        ]
+        scores = (scores / np.maximum(lengths, 1)).astype(np.float32)
+        return tags, scores
+
+
+def casing_class(tok: str) -> int:
+    """8-class casing/morphology id — exact re-derivation of the
+    reference's get_token_case / case_feature (data_utils.py:135-162):
+    ids {allNum:0, allLower:1, allUpper:2, upperInit:3, other:4,
+    main_num:5, contain_num:6, [PAD]:7}, checks in reference order
+    (isdigit → digit_prop>0.5 → islower → isupper → istitle →
+    contains-digit → other). Empty/pad token → [PAD]=7 (the reference
+    never sees empty tokens; this is the padding id)."""
+    if not tok:
+        return 7
+    n_digits = sum(c.isdigit() for c in tok.strip())
+    digit_prop = n_digits / float(len(tok))
+    if tok.isdigit():
+        return 0
+    if digit_prop > 0.5:
+        return 5
+    if tok.islower():
+        return 1
+    if tok.isupper():
+        return 2
+    if tok.istitle():
+        return 3
+    if n_digits > 0:
+        return 6
+    return 4
+
+
+def extract_spans(tokens: list[str], tags: list[str]) -> list[tuple[int, int, str, str]]:
+    """BIO run grouping (W8): (begin, end_exclusive, surface, etype)."""
+    spans: list[tuple[int, int, str, str]] = []
+    i = 0
+    n = min(len(tokens), len(tags))
+    while i < n:
+        tag = tags[i]
+        if tag.startswith("B-"):
+            etype = tag[2:]
+            j = i + 1
+            while j < n and tags[j] == f"I-{etype}":
+                j += 1
+            spans.append((i, j, " ".join(tokens[i:j]), etype))
+            i = j
+        else:
+            i += 1
+    return spans

@@ -1,0 +1,110 @@
+"""Pinned, seeded model-weight bundle.
+
+The reference's checkpoints are absent (/root/reference/
+.MISSING_LARGE_BLOBS), so the engine ships its own deterministic weights:
+every table is drawn from a seeded Generator. The bundle is a flat
+dict[str, np.ndarray] — picklable, broadcast once per job
+(sc.broadcast), lazily indexed inside the UDF.
+
+Architecture dims follow the reference flagship (arguments.py:121-136:
+word 50 + char 30 + pos 10 + case 8 = 98 feature dims; BiLSTM; multi-head
+attention) with a configurable compact profile for CPU-only eval.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .labels import N_LABELS, bio_transition_mask
+
+SEED = 42
+
+
+@dataclass(frozen=True)
+class KernelProfile:
+    """'reference' dims per arguments.py:121-136; 'fast' is the compact
+    CPU eval profile (same architecture, smaller widths)."""
+
+    word_vocab: int = 4096      # hashed vocab buckets (ref: 7129 fitted)
+    word_dim: int = 50
+    char_vocab: int = 125       # ref char table rows (data_utils.py:135)
+    char_dim: int = 30
+    pos_dim: int = 10
+    case_dim: int = 8
+    n_case: int = 8             # 8 casing classes (data_utils.py:136)
+    n_pos: int = 18             # 17 UPOS + pad (SURVEY F4)
+    char_maxlen: int = 16
+    char_kernel: int = 3
+    lstm_hidden: int = 64       # ref: 256
+    lstm_layers: int = 2        # ref: 4
+    n_heads: int = 4            # ref: 8
+    d_model: int = 128          # ref: 128 (arguments.py:127)
+
+    @property
+    def feat_dim(self) -> int:
+        return self.word_dim + self.char_dim + self.pos_dim + self.case_dim
+
+
+FAST = KernelProfile()
+REFERENCE = KernelProfile(
+    word_vocab=8192, lstm_hidden=256, lstm_layers=4, n_heads=8
+)
+
+
+def build_weights(profile: KernelProfile = FAST, seed: int = SEED) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    p = profile
+
+    def glorot(*shape: int) -> np.ndarray:
+        limit = np.sqrt(6.0 / (shape[0] + shape[-1]))
+        return rng.uniform(-limit, limit, size=shape).astype(np.float32)
+
+    w: dict[str, np.ndarray] = {
+        "word_emb": (rng.standard_normal((p.word_vocab, p.word_dim)) * 0.1).astype(np.float32),
+        "char_emb": (rng.standard_normal((p.char_vocab, p.char_dim)) * 0.1).astype(np.float32),
+        "pos_emb": (rng.standard_normal((p.n_pos, p.pos_dim)) * 0.1).astype(np.float32),
+        "case_emb": np.eye(p.n_case, p.case_dim, dtype=np.float32),  # identity init, data_utils.py:138
+        # Char CNN (char_CNN.py:10-49): conv over char window → maxpool
+        "char_conv_w": glorot(p.char_kernel * p.char_dim, p.char_dim),
+        "char_conv_b": np.zeros(p.char_dim, dtype=np.float32),
+        # feature fusion → d_model (model.py:190-215)
+        "proj_w": glorot(p.feat_dim, p.d_model),
+        "proj_b": np.zeros(p.d_model, dtype=np.float32),
+        # emission head: 2*H (BiLSTM out) → labels
+        "emit_w": glorot(2 * p.lstm_hidden, N_LABELS),
+        "emit_b": np.zeros(N_LABELS, dtype=np.float32),
+        # gate fusion (model.py:455-465): lexicon ⊕ neural emissions
+        "gate_w": glorot(2 * N_LABELS, N_LABELS),
+        "gate_b": np.zeros(N_LABELS, dtype=np.float32),
+        # CRF transitions: BIO structural mask + small learned-like noise
+        "trans": (
+            np.asarray(bio_transition_mask(), dtype=np.float32)
+            + (rng.standard_normal((N_LABELS, N_LABELS)) * 0.01).astype(np.float32)
+        ),
+    }
+    # BiLSTM stacks (model.py:394-410); h0/c0 pinned to zeros — the
+    # reference randomizes them per batch (model.py:217-220), which we
+    # deliberately fix for reproducibility (SURVEY §7 "what's hard").
+    in_dim = p.d_model
+    for layer in range(p.lstm_layers):
+        for direction in ("fw", "bw"):
+            pre = f"lstm{layer}_{direction}"
+            w[f"{pre}_wx"] = glorot(in_dim, 4 * p.lstm_hidden)
+            w[f"{pre}_wh"] = glorot(p.lstm_hidden, 4 * p.lstm_hidden)
+            b = np.zeros(4 * p.lstm_hidden, dtype=np.float32)
+            b[p.lstm_hidden : 2 * p.lstm_hidden] = 1.0  # forget-gate bias
+            w[f"{pre}_b"] = b
+        in_dim = 2 * p.lstm_hidden
+    # multi-head self-attention over BiLSTM states (Transformer_module.py:15-60)
+    d = 2 * p.lstm_hidden
+    for name in ("q", "k", "v", "o"):
+        w[f"attn_{name}w"] = glorot(d, d)
+    w["attn_ln_g"] = np.ones(d, dtype=np.float32)
+    w["attn_ln_b"] = np.zeros(d, dtype=np.float32)
+    w["_profile"] = np.array(
+        [p.word_vocab, p.char_vocab, p.char_maxlen, p.lstm_hidden, p.lstm_layers, p.n_heads, p.d_model],
+        dtype=np.int64,
+    )
+    return w

@@ -1,0 +1,96 @@
+"""End-to-end KG construction pipeline.
+
+scan → sha256 → sentencize → salted repartition → tag (mapInPandas,
+broadcast weights) → MinHash-LSH linking → connected-component
+canonicalization → triples → partitioned write + lineage (resumable).
+
+One DataFrame DAG per stage; the only corpus-scale shuffles are the
+salted repartition before tagging and the per-sentence groupBy for
+co-occurrence. Linking and canonicalization operate on the distinct
+surface vocabulary (orders of magnitude smaller than the corpus) and
+re-attach via broadcast joins.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import graph, lineage
+from .kernel.weights import FAST, KernelProfile, build_weights
+from .linking.components import canonicalize
+from .linking.minhash_lsh import candidate_pairs_sql, exact_pairs
+from .operators.sentencize import sentencize, with_sha256
+from .tagging import salted_repartition, tag_mentions
+
+
+@dataclass
+class PipelineConfig:
+    neural_scale: float = 0.1
+    decode: str = "viterbi"
+    link_threshold: float = 0.5
+    num_partitions: int = 0          # 0 → default parallelism
+    salt_buckets: int = 64
+    profile: KernelProfile = FAST
+
+
+def broadcast_weights(spark: SparkSession, cfg: PipelineConfig):
+    return spark.sparkContext.broadcast(build_weights(cfg.profile))
+
+
+def extract_mentions(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig,
+                     weights_bc=None, out_dir: str | None = None) -> DataFrame:
+    """Sentencize + tag. With out_dir: resume-aware — buckets already in
+    the tag-stage lineage are skipped BEFORE any model compute runs."""
+    bc = weights_bc or broadcast_weights(spark, cfg)
+    sents = sentencize(with_sha256(corpus))
+    if out_dir is not None:
+        sents = lineage.filter_resumable(
+            spark, lineage.with_bucket(sents), out_dir, stage="tag"
+        )
+    n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism * 2
+    sents = salted_repartition(sents, n_part, cfg.salt_buckets)
+    mentions = tag_mentions(
+        sents.drop("bucket"), bc, neural_scale=cfg.neural_scale, decode=cfg.decode
+    )
+    return mentions
+
+
+def link_entities(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Edges = exact-normalized equality (all etypes) ∪ MinHash-LSH fuzzy
+    pairs (named etypes only — indicators/CVEs are identities)."""
+    fuzzy = candidate_pairs_sql(mentions, sim_threshold=cfg.link_threshold)
+    pairs = exact_pairs(mentions).unionByName(fuzzy).dropDuplicates(
+        ["etype", "surface_a", "surface_b"]
+    )
+    return canonicalize(mentions, pairs)
+
+
+def run_pipeline(spark: SparkSession, corpus: DataFrame,
+                 cfg: PipelineConfig | None = None,
+                 out_dir: str | None = None) -> dict[str, DataFrame]:
+    """Returns {'mentions', 'entities', 'triples'} DataFrames.
+
+    With out_dir: the tag stage checkpoints per-bucket (resume-aware,
+    append); linking/canonicalize/materialize are global functions of the
+    full mentions checkpoint and are recomputed with overwrite semantics
+    — see lineage.py module docstring for why the split lands there."""
+    cfg = cfg or PipelineConfig()
+    if out_dir is not None:
+        new_mentions = extract_mentions(spark, corpus, cfg, out_dir=out_dir)
+        lineage.write_checkpoint(
+            spark, new_mentions, out_dir, table="mentions", stage="tag", mode="append"
+        )
+        mentions = spark.read.parquet(f"{out_dir}/mentions").drop("bucket")
+    else:
+        mentions = extract_mentions(spark, corpus, cfg).cache()
+    entities = link_entities(mentions, cfg).cache()
+    linked = graph.link_mentions(mentions, entities)
+    triples = graph.build_triples(linked, entities)
+    if out_dir is not None:
+        lineage.write_checkpoint(
+            spark, triples, out_dir, table="triples", stage="materialize", mode="overwrite"
+        )
+        triples = spark.read.parquet(f"{out_dir}/triples").drop("bucket")
+    return {"mentions": mentions, "entities": entities, "triples": triples}

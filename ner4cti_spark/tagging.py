@@ -1,0 +1,107 @@
+"""Distributed tagging: sentences → mentions via mapInPandas.
+
+The engine's hot path (SURVEY §3.3 rebuild): broadcast weights once,
+lazy-init the kernel per executor process, tag whole Arrow batches,
+emit exploded mention rows (a UDTF-shaped mapInPandas). No per-row
+Python — each batch is one vectorized forward + one batched Viterbi.
+
+Skew: giant repos are spread by salted repartition on
+(repo, pmod(hash(path), S)) before tagging, per SURVEY §4.2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kernel.tagger import TaggerKernel, extract_spans
+
+_KERNEL_CACHE: dict[int, TaggerKernel] = {}
+
+MENTION_SCHEMA = (
+    "repo string, path string, commit string, sha256 string, sent_id long, "
+    "begin int, end int, surface string, etype string, score float"
+)
+
+TAGGED_SCHEMA = (
+    "repo string, path string, commit string, sha256 string, sent_id long, "
+    "tokens array<string>, tags array<string>, score float"
+)
+
+
+def _get_kernel(weights_bc, neural_scale: float, decode: str) -> TaggerKernel:
+    key = id(weights_bc)
+    k = _KERNEL_CACHE.get(key)
+    if k is None:
+        k = TaggerKernel(weights_bc.value, neural_scale=neural_scale, decode=decode)
+        _KERNEL_CACHE[key] = k
+    return k
+
+
+def salted_repartition(sentences: DataFrame, num_partitions: int, salt_buckets: int = 64
+                       ) -> DataFrame:
+    """Spread hot repos across partitions: partition by (repo, salt) where
+    salt = pmod(hash(path, sent_id), S). At cluster scale this prevents a
+    single giant repo from pinning one executor."""
+    return sentences.repartition(
+        num_partitions,
+        F.col("repo"),
+        F.pmod(F.hash(F.col("path"), F.col("sent_id")), F.lit(salt_buckets)),
+    )
+
+
+def tag_sentences(sentences: DataFrame, weights_bc, neural_scale: float = 0.1,
+                  decode: str = "viterbi") -> DataFrame:
+    """sentences → tagged rows (tokens + aligned BIO tags + score)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _get_kernel(weights_bc, neural_scale, decode)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sents = [list(t) for t in pdf["tokens"]]
+            tags, scores = kernel.tag(sents)
+            out = pdf[["repo", "path", "commit", "sha256", "sent_id", "tokens"]].copy()
+            out["tags"] = tags
+            out["score"] = scores.astype(np.float32)
+            yield out
+
+    return sentences.mapInPandas(run, schema=TAGGED_SCHEMA)
+
+
+def tag_mentions(sentences: DataFrame, weights_bc, neural_scale: float = 0.1,
+                 decode: str = "viterbi") -> DataFrame:
+    """sentences → exploded mention rows (the UDTF shape, SURVEY §2.9)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _get_kernel(weights_bc, neural_scale, decode)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sents = [list(t) for t in pdf["tokens"]]
+            tags, scores = kernel.tag(sents)
+            rows: dict[str, list] = {c: [] for c in (
+                "repo", "path", "commit", "sha256", "sent_id",
+                "begin", "end", "surface", "etype", "score")}
+            for i, (toks, tg) in enumerate(zip(sents, tags)):
+                spans = extract_spans(toks, tg)
+                if not spans:
+                    continue
+                for b, e, surface, etype in spans:
+                    rows["repo"].append(pdf["repo"].iat[i])
+                    rows["path"].append(pdf["path"].iat[i])
+                    rows["commit"].append(pdf["commit"].iat[i])
+                    rows["sha256"].append(pdf["sha256"].iat[i])
+                    rows["sent_id"].append(int(pdf["sent_id"].iat[i]))
+                    rows["begin"].append(b)
+                    rows["end"].append(e)
+                    rows["surface"].append(surface)
+                    rows["etype"].append(etype)
+                    rows["score"].append(float(scores[i]))
+            yield pd.DataFrame(rows)
+
+    return sentences.mapInPandas(run, schema=MENTION_SCHEMA)

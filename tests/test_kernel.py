@@ -1,0 +1,166 @@
+"""Kernel parity tests vs pure-Python oracles (SURVEY §5.2.1)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from ner4cti_spark.kernel.crf import forward_logZ, greedy_decode, viterbi_decode
+from ner4cti_spark.kernel.labels import LABELS, N_LABELS, bio_transition_mask
+from ner4cti_spark.kernel.tagger import TaggerKernel, casing_class, extract_spans
+from ner4cti_spark.kernel.weights import build_weights
+
+
+# ---------- casing classifier (F1, data_utils.py:141-162 semantics) ----------
+
+@pytest.mark.parametrize(
+    "tok,expected",
+    [
+        ("", 7),             # [PAD]
+        ("1234", 0),         # allNum
+        ("a1234", 5),        # main_num (digit_prop > 0.5)
+        ("hello", 1),        # allLower
+        ("abc1", 1),         # islower() is True despite the digit — ref order
+        ("HELLO", 2),        # allUpper
+        ("Hello", 3),        # upperInit (istitle)
+        ("ABc1", 6),         # contain_num
+        ("...", 4),          # other
+        ("McAfee", 4),       # mixed case, not istitle, no digit → other
+    ],
+)
+def test_casing_class(tok, expected):
+    assert casing_class(tok) == expected
+
+
+def test_casing_class_matches_reference_oracle():
+    """Property check vs a literal transcription of data_utils.py:141-162."""
+    def oracle(token: str) -> int:
+        case2idx = {"allNum": 0, "allLower": 1, "allUpper": 2, "upperInit": 3,
+                    "other": 4, "main_num": 5, "contain_num": 6, "[PAD]": 7}
+        num_digits = sum(c.isdigit() for c in token.strip())
+        digit_prop = num_digits / float(len(token))
+        casing = "other"
+        if token.isdigit():
+            casing = "allNum"
+        elif digit_prop > 0.5:
+            casing = "main_num"
+        elif token.islower():
+            casing = "allLower"
+        elif token.isupper():
+            casing = "allUpper"
+        elif token.istitle():
+            casing = "upperInit"
+        elif num_digits > 0:
+            casing = "contain_num"
+        return case2idx[casing]
+
+    toks = ["1234", "a1234", "hello", "abc1", "HELLO", "Hello", "ABc1", "...",
+            "McAfee", "CVE-2017-0144", "10.2.3.4", "WannaCry", "{", "x86_64"]
+    for t in toks:
+        assert casing_class(t) == oracle(t), t
+
+
+# ---------- Viterbi vs brute force (W5, CRF_classes.py:112-192) ----------
+
+def brute_force_best_path(em: np.ndarray, trans: np.ndarray) -> tuple[list[int], float]:
+    T, L = em.shape
+    best, best_score = None, -np.inf
+    for path in itertools.product(range(L), repeat=T):
+        s = em[0, path[0]] + sum(
+            trans[path[t - 1], path[t]] + em[t, path[t]] for t in range(1, T)
+        )
+        if s > best_score:
+            best, best_score = list(path), s
+    return best, best_score
+
+
+def test_viterbi_matches_brute_force():
+    rng = np.random.default_rng(7)
+    T, L = 4, 5
+    em = rng.standard_normal((3, T, L)).astype(np.float32)
+    trans = rng.standard_normal((L, L)).astype(np.float32)
+    lengths = np.array([4, 3, 1])
+    paths, scores = viterbi_decode(em, trans, lengths)
+    for b in range(3):
+        t = int(lengths[b])
+        bf_path, bf_score = brute_force_best_path(em[b, :t], trans)
+        assert list(paths[b, :t]) == bf_path
+        assert np.isclose(scores[b], bf_score, atol=1e-4)
+        assert (paths[b, t:] == 0).all()
+
+
+def test_forward_logZ_matches_enumeration():
+    rng = np.random.default_rng(11)
+    T, L = 3, 4
+    em = rng.standard_normal((1, T, L)).astype(np.float32)
+    trans = rng.standard_normal((L, L)).astype(np.float32)
+    total = 0.0
+    for path in itertools.product(range(L), repeat=T):
+        s = em[0, 0, path[0]] + sum(
+            trans[path[t - 1], path[t]] + em[0, t, path[t]] for t in range(1, T)
+        )
+        total += np.exp(s)
+    logZ = forward_logZ(em, trans, np.array([T]))
+    assert np.isclose(logZ[0], np.log(total), atol=1e-4)
+
+
+def test_greedy_decode_is_argmax():
+    em = np.array([[[1.0, 2.0], [3.0, 0.0], [0.0, 0.0]]], dtype=np.float32)
+    paths = greedy_decode(em, np.array([2]))
+    assert list(paths[0]) == [1, 0, 0]
+
+
+# ---------- BIO machinery ----------
+
+def test_transition_mask_blocks_illegal_I():
+    m = np.asarray(bio_transition_mask())
+    i_mal = LABELS.index("I-malware")
+    b_mal = LABELS.index("B-malware")
+    o = LABELS.index("O")
+    assert m[b_mal, i_mal] == 0.0
+    assert m[i_mal, i_mal] == 0.0
+    assert m[o, i_mal] <= -1e3
+    assert m.shape == (N_LABELS, N_LABELS)
+
+
+def test_extract_spans_groups_runs():
+    toks = "a b c d e".split()
+    tags = ["B-tool", "I-tool", "O", "B-malware", "I-tool"]
+    spans = extract_spans(toks, tags)
+    assert spans == [(0, 2, "a b", "tool"), (3, 4, "d", "malware")]
+
+
+# ---------- tagger determinism + correctness ----------
+
+SENT = "APT28 exploited CVE-2017-0144 to deliver NotPetya via watering hole .".split()
+
+
+def test_tagger_finds_planted_entities():
+    k = TaggerKernel(build_weights())
+    tags, _ = k.tag([SENT])
+    spans = extract_spans(SENT, tags[0])
+    found = {(s, e) for _, _, s, e in spans}
+    assert ("APT28", "threat-actor") in found
+    assert ("CVE-2017-0144", "cve") in found
+    assert ("NotPetya", "malware") in found
+    assert ("watering hole", "attack-pattern") in found
+
+
+def test_tagger_deterministic_and_batch_invariant():
+    k = TaggerKernel(build_weights())
+    other = "The Lazarus Group used Mimikatz for credential dumping .".split()
+    tags_a, _ = k.tag([SENT, other])
+    tags_b, _ = k.tag([other])          # different batch composition
+    tags_c, _ = k.tag([SENT, other])    # repeat
+    assert tags_a == tags_c
+    assert tags_a[1] == tags_b[0]
+
+
+def test_tags_align_with_tokens():
+    k = TaggerKernel(build_weights())
+    sents = [SENT, ["x"], "one two three".split()]
+    tags, scores = k.tag(sents)
+    assert [len(t) for t in tags] == [len(s) for s in sents]
+    assert len(scores) == 3

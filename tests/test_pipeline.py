@@ -1,0 +1,121 @@
+"""End-to-end pipeline tests: P/R vs planted gold, invariants, linking,
+connected components, resume idempotence (SURVEY §5.2.2/5.2.4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner4cti_spark.corpus import expected_mentions, generate_corpus
+from ner4cti_spark.linking.components import connected_components
+from ner4cti_spark.operators.sentencize import sentencize, with_sha256
+from ner4cti_spark.pipeline import PipelineConfig, run_pipeline
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_corpus(spark, n_docs=N_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    out = run_pipeline(spark, corpus)
+    out["mentions"] = out["mentions"].cache()
+    out["triples"] = out["triples"].cache()
+    return out
+
+
+def test_corpus_deterministic(spark, corpus):
+    again = generate_corpus(spark, n_docs=N_DOCS)
+    a = corpus.select(F.sha2(F.concat_ws("|", "repo", "path", "content"), 256).alias("h"))
+    b = again.select(F.sha2(F.concat_ws("|", "repo", "path", "content"), 256).alias("h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sha256_invariant_preserved(spark, corpus, result):
+    """input_hint per-row invariant: every mention carries the sha256 of
+    its source content row, byte-identical to recomputation."""
+    src = with_sha256(corpus).select("repo", "path", "sha256").distinct()
+    carried = result["mentions"].select("repo", "path", "sha256").distinct()
+    assert carried.join(src, ["repo", "path", "sha256"], "left_anti").count() == 0
+
+
+def test_mention_pr_vs_gold(spark, result):
+    """P/R ≥ 0.95 against planted gold mentions (north_rule gate)."""
+    gold = expected_mentions(spark, n_docs=N_DOCS)
+    gold_keys = gold.select(
+        "sha256", F.col("sent_id"), F.col("surface"), F.col("etype")
+    ).distinct()
+    pred_keys = result["mentions"].select("sha256", "sent_id", "surface", "etype").distinct()
+    tp = pred_keys.join(gold_keys, ["sha256", "sent_id", "surface", "etype"]).count()
+    n_pred, n_gold = pred_keys.count(), gold_keys.count()
+    precision = tp / max(n_pred, 1)
+    recall = tp / max(n_gold, 1)
+    assert precision >= 0.95, f"precision {precision:.3f} (tp={tp}, pred={n_pred})"
+    assert recall >= 0.95, f"recall {recall:.3f} (tp={tp}, gold={n_gold})"
+
+
+def test_sentencize_counts(spark, corpus):
+    sents = sentencize(corpus)
+    # every non-blank line becomes exactly one sentence row
+    expected = corpus.select(
+        F.size(F.filter(F.split("content", "\n"), lambda l: F.length(F.trim(l)) > 0)).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert sents.count() == expected
+
+
+def test_linking_merges_known_aliases(result):
+    ents = result["entities"]
+    pairs = [
+        ("APT28", "APT 28"),
+        ("Cozy Bear", "CozyBear"),
+        ("spear phishing", "spearphishing"),
+    ]
+    for a, b in pairs:
+        ids = (
+            ents.filter(F.col("alias").isin(a, b))
+            .select("entity_id").distinct().count()
+        )
+        present = ents.filter(F.col("alias").isin(a, b)).count()
+        if present == 2:  # both aliases appeared in this corpus
+            assert ids == 1, f"{a} / {b} not merged"
+
+
+def test_linking_keeps_distinct_indicators_apart(result):
+    """Distinct CVEs / domains must NOT merge (identity semantics)."""
+    ents = result["entities"].filter(F.col("etype").isin("cve", "indicator"))
+    merged = (
+        ents.groupBy("entity_id")
+        .agg(F.count_distinct(
+            F.regexp_replace(F.lower("alias"), r"[\s\-_\.]+", "")).alias("n"))
+        .filter("n > 1").count()
+    )
+    assert merged == 0
+
+
+def test_triples_predicates(result):
+    preds = {r["pred"] for r in result["triples"].select("pred").distinct().collect()}
+    assert preds == {"mentions", "has_type", "found_in_repo", "same_as", "co_occurs_with"}
+
+
+def test_connected_components_chain_and_clique(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+
+
+def test_parallelism_invariance(spark, corpus):
+    """Output triple set is identical at different partitioning (the
+    sandbox proxy for multi-executor determinism)."""
+    cfg_a = PipelineConfig(num_partitions=4)
+    cfg_b = PipelineConfig(num_partitions=17)
+    ta = run_pipeline(spark, corpus, cfg_a)["triples"].select("subj", "pred", "obj")
+    tb = run_pipeline(spark, corpus, cfg_b)["triples"].select("subj", "pred", "obj")
+    assert ta.exceptAll(tb).count() == 0 and tb.exceptAll(ta).count() == 0
