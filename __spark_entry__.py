@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship CTI KG pipeline on a deterministic synthetic
+corpus (BASELINE.json input_hint shape) → triples DataFrame.
+queries()/oracle_sql(): operator coverage from SURVEY.md §2 + the
+training-data-pipeline suite, checked against DuckDB at sf=0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +12,70 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ner4cti_spark import entry_queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus scan → tag (mapInPandas + Viterbi) → link →
+    canonicalize → triples."""
+    from ner4cti_spark.corpus import generate_corpus
+    from ner4cti_spark.pipeline import run_pipeline
+    from ner4cti_spark.session import ship_package
+
+    ship_package(spark)
+    corpus = generate_corpus(spark, n_docs=150)
+    return run_pipeline(spark, corpus)["triples"]
+
+
+def _cti_query(which: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ner4cti_spark.corpus import generate_corpus
+        from ner4cti_spark.pipeline import run_pipeline
+        from ner4cti_spark.session import ship_package
+
+        ship_package(spark)
+        out = run_pipeline(spark, generate_corpus(spark, n_docs=150))
+        return out[which]
+
+    return run
+
+
+# name → (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # §2.4 aggregations / §2.2 filters
+    "vocab_word_freq": (Q.q_vocab_word_freq, Q.SQL_VOCAB_WORD_FREQ),
+    "vocab_rank": (Q.q_vocab_rank, Q.SQL_VOCAB_RANK),
+    "sent_maxlen": (Q.q_sent_maxlen, Q.SQL_SENT_MAXLEN),
+    "split_counts": (Q.q_split_counts, Q.SQL_SPLIT_COUNTS),
+    # §2.8 scalar functions
+    "casing_classify": (Q.q_casing_classify, Q.SQL_CASING_CLASSIFY),
+    # §2.3 joins
+    "token_lookup_fallback": (Q.q_token_lookup_fallback, Q.SQL_TOKEN_LOOKUP_FALLBACK),
+    "oov_anti_join": (Q.q_oov_anti_join, Q.SQL_OOV_ANTI_JOIN),
+    "enrichment_join": (Q.q_enrichment_join, Q.SQL_ENRICHMENT_JOIN),
+    "tag_accuracy": (Q.q_tag_accuracy, Q.SQL_TAG_ACCURACY),
+    "weighted_f1": (Q.q_weighted_f1, Q.SQL_WEIGHTED_F1),
+    # §2.5 windows / sequences
+    "sessionize_events": (Q.q_sessionize_events, Q.SQL_SESSIONIZE_EVENTS),
+    "topk_events_per_user": (Q.q_topk_events_per_user, Q.SQL_TOPK_EVENTS_PER_USER),
+    "skipgram_pairs": (Q.q_skipgram_pairs, Q.SQL_SKIPGRAM_PAIRS),
+    "span_extract": (Q.q_span_extract_sql, Q.SQL_SPAN_EXTRACT),
+    # §2.7 set ops
+    "set_ops_tokens": (Q.q_set_ops_tokens, Q.SQL_SET_OPS_TOKENS),
+    # classic OLAP shapes
+    "pricing_summary": (Q.q_pricing_summary, Q.SQL_PRICING_SUMMARY),
+    "top_revenue_orders": (Q.q_top_revenue_orders, Q.SQL_TOP_REVENUE_ORDERS),
+    "cube_counts": (Q.q_cube_counts, Q.SQL_CUBE_COUNTS),
+    # CTI pipeline (model kernels — non-SQL-expressible, rows-only checks)
+    "cti_mentions": (_cti_query("mentions"), None),
+    "cti_entities": (_cti_query("entities"), None),
+    "cti_triples": (_cti_query("triples"), None),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}
