@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ner4cti_spark import dataprep_queries as D
 from ner4cti_spark import entry_queries as Q
 
 
@@ -66,6 +67,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pricing_summary": (Q.q_pricing_summary, Q.SQL_PRICING_SUMMARY),
     "top_revenue_orders": (Q.q_top_revenue_orders, Q.SQL_TOP_REVENUE_ORDERS),
     "cube_counts": (Q.q_cube_counts, Q.SQL_CUBE_COUNTS),
+    # training-data pipeline: deduplication
+    "dedup_exact": (D.q_dedup_exact, D.SQL_DEDUP_EXACT),
+    "dedup_minhash": (D.q_dedup_minhash, D.SQL_DEDUP_MINHASH),
+    "dedup_simhash": (D.q_dedup_simhash, D.SQL_DEDUP_SIMHASH),
+    "ngram_jaccard": (D.q_ngram_jaccard, D.SQL_NGRAM_JACCARD),
+    "doc_fingerprint": (D.q_doc_fingerprint, D.SQL_DOC_FINGERPRINT),
+    # training-data pipeline: text analysis
+    "lang_id": (D.q_lang_id, D.SQL_LANG_ID),
+    "quality_score": (D.q_quality_score, D.SQL_QUALITY_SCORE),
+    "token_stats": (D.q_token_stats, D.SQL_TOKEN_STATS),
+    # similarity search
+    "embedding_topk": (D.q_embedding_topk, D.SQL_EMBEDDING_TOPK),
+    "embedding_lsh_buckets": (D.q_embedding_lsh_buckets, D.SQL_EMBEDDING_LSH_BUCKETS),
+    # graph: connected components vs recursive-CTE oracle
+    "connected_components": (D.q_connected_components, D.SQL_CONNECTED_COMPONENTS),
     # CTI pipeline (model kernels — non-SQL-expressible, rows-only checks)
     "cti_mentions": (_cti_query("mentions"), None),
     "cti_entities": (_cti_query("entities"), None),
