@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": "triples_per_sec", "value": N, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+The headline metric is the north-rule throughput (triples/sec through
+the full KG pipeline on a synthetic corpus sized to the SF); the
+queries dict times each operator family at the SF's parquet tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from ner4cti_spark import dataprep_queries as D
+    from ner4cti_spark import entry_queries as Q
+    from ner4cti_spark.corpus import generate_corpus
+    from ner4cti_spark.pipeline import PipelineConfig, run_pipeline
+    from ner4cti_spark.session import get_spark
+
+    spark = get_spark(app_name="ner4cti_bench", cores=cpus, shuffle_partitions=max(cpus, 32))
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    headline = {
+        "vocab_rank": Q.q_vocab_rank,
+        "token_lookup_fallback": Q.q_token_lookup_fallback,
+        "sessionize_events": Q.q_sessionize_events,
+        "pricing_summary": Q.q_pricing_summary,
+        "top_revenue_orders": Q.q_top_revenue_orders,
+        "span_extract": Q.q_span_extract_sql,
+        "dedup_minhash": D.q_dedup_minhash,
+        "ngram_jaccard": D.q_ngram_jaccard,
+        "dedup_simhash": D.q_dedup_simhash,
+        "embedding_topk": D.q_embedding_topk,
+        "quality_score": D.q_quality_score,
+        "connected_components": D.q_connected_components,
+    }
+    for name, q in headline.items():
+        timed(name, lambda q=q: q(spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    # full KG pipeline — the north-rule metric. Corpus sized to SF.
+    n_docs = max(200, int(10000 * sf))
+    corpus = generate_corpus(spark, n_docs=n_docs).localCheckpoint(eager=True)
+    t0 = time.time()
+    out = run_pipeline(spark, corpus, PipelineConfig())
+    n_triples = out["triples"].count()
+    pipeline_sec = time.time() - t0
+    timings["cti_pipeline"] = round(pipeline_sec, 3)
+
+    triples_per_sec = n_triples / pipeline_sec if pipeline_sec > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "triples_per_sec",
+                "value": round(triples_per_sec, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "n_triples": n_triples,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

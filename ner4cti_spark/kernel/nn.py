@@ -39,15 +39,18 @@ def char_ids(tokens: list[list[str]], maxlen_t: int, char_maxlen: int, n_chars: 
 
 def char_cnn(cids: np.ndarray, emb: np.ndarray, conv_w: np.ndarray, conv_b: np.ndarray,
              kernel: int) -> np.ndarray:
-    """(B,T,C) ids → (B,T,D) via conv-over-chars + ReLU + max-pool (M1)."""
+    """(B,T,C) ids → (B,T,D) via conv-over-chars + ReLU + max-pool (M1).
+    Conv computed as k offset GEMMs (no window materialization)."""
     B, T, C = cids.shape
     x = emb[cids]                                   # (B,T,C,Dc)
     Dc = x.shape[-1]
-    # windows: (B,T,C-k+1,k*Dc)
     nwin = C - kernel + 1
-    win = np.stack([x[:, :, i : i + kernel, :].reshape(B, T, -1) for i in range(nwin)], axis=2)
-    h = np.maximum(win @ conv_w + conv_b, 0.0)       # (B,T,nwin,Dc)
-    return h.max(axis=2)                             # (B,T,Dc)
+    h = np.broadcast_to(conv_b, (B, T, nwin, Dc)).copy()
+    for j in range(kernel):
+        wj = conv_w[j * Dc : (j + 1) * Dc, :]       # (Dc,Dc)
+        h += x[:, :, j : j + nwin, :] @ wj
+    np.maximum(h, 0.0, out=h)
+    return h.max(axis=2)                            # (B,T,Dc)
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
@@ -59,14 +62,17 @@ def lstm_layer(x: np.ndarray, wx: np.ndarray, wh: np.ndarray, b: np.ndarray,
     """One directional LSTM over (B,T,D) → (B,T,H). h0/c0 = 0 (pinned —
     the reference's random init at model.py:217-220 is a documented
     deviation-for-determinism). Gate order: i,f,g,o."""
-    B, T, _ = x.shape
+    B, T, D = x.shape
     H = wh.shape[0]
     h = np.zeros((B, H), dtype=np.float32)
     c = np.zeros((B, H), dtype=np.float32)
     steps = range(T - 1, -1, -1) if reverse else range(T)
     out = np.zeros((B, T, H), dtype=np.float32)
+    # hoist the input projection: one (B·T, D)@(D, 4H) GEMM instead of T
+    # small ones — the recurrent h@wh is the only per-step matmul left
+    xw = (x.reshape(B * T, D) @ wx).reshape(B, T, 4 * H) + b
     for t in steps:
-        g = x[:, t, :] @ wx + h @ wh + b
+        g = xw[:, t, :] + h @ wh
         i, f, gg, o = np.split(g, 4, axis=1)
         i, f, o = _sigmoid(i), _sigmoid(f), _sigmoid(o)
         c = f * c + i * np.tanh(gg)

@@ -45,6 +45,11 @@ class TaggerKernel:
         self.decode = decode
         self.phrases = gazetteer.phrase_index()
         self.max_phrase = gazetteer.MAX_PHRASE_LEN
+        # per-executor caches: code corpora repeat tokens heavily, so
+        # token-level features (word/char/pos/case, 98 dims) and
+        # indicator classes are computed once per distinct token
+        self._feat_cache: dict[str, np.ndarray] = {}
+        self._class_cache: dict[str, str | None] = {}
 
     # ---------------- emissions ----------------
 
@@ -74,33 +79,58 @@ class TaggerKernel:
                 if matched:
                     i += matched
                     continue
-                etype = gazetteer.classify_token(sent[i])
+                tok = sent[i]
+                if tok in self._class_cache:
+                    etype = self._class_cache[tok]
+                else:
+                    etype = gazetteer.classify_token(tok)
+                    self._class_cache[tok] = etype
                 if etype is not None:
                     em[b, i, LABEL2ID[f"B-{etype}"]] = LEX_HIT
                     em[b, i, O_ID] = LEX_OTHER
                 i += 1
         return em
 
+    def _token_features(self, tokens: list[str]) -> np.ndarray:
+        """(N, feat_dim) rows for distinct tokens, cached per executor.
+        Feature fusion M2 inputs: word(hash-emb) ‖ charCNN ‖ pos-proxy ‖
+        case — each a pure function of the token string, so distinct-token
+        compute + gather replaces per-position recompute."""
+        w = self.w
+        missing = [t for t in tokens if t not in self._feat_cache]
+        if missing:
+            wid = nn.stable_hash_ids(np.array(missing, dtype=object), self.word_vocab)
+            word_v = w["word_emb"][wid]                                  # (N,50)
+            cids = nn.char_ids([missing], len(missing), self.char_maxlen, self.char_vocab)[0]
+            char_v = nn.char_cnn(
+                cids[:, None, :], w["char_emb"], w["char_conv_w"], w["char_conv_b"], 3
+            )[:, 0, :]                                                   # (N,30)
+            case_id = np.array([casing_class(t) for t in missing], dtype=np.int64)
+            case_v = w["case_emb"][case_id]
+            # POS proxy: casing class as id (no stanza here — SURVEY F4)
+            pos_v = w["pos_emb"][case_id % w["pos_emb"].shape[0]]
+            feats = np.concatenate([word_v, char_v, pos_v, case_v], axis=-1).astype(np.float32)
+            if len(self._feat_cache) > 500_000:
+                self._feat_cache.clear()
+            for i, t in enumerate(missing):
+                self._feat_cache[t] = feats[i]
+        return np.stack([self._feat_cache[t] for t in tokens])
+
     def neural_emissions(self, sents: list[list[str]], T: int, mask: np.ndarray) -> np.ndarray:
         """(B,T,L) contextual branch: M1→M2→M3→M4→linear, batched numpy."""
         w = self.w
         B = len(sents)
-        toks = np.array(
-            [[s[t] if t < len(s) else "" for t in range(T)] for s in sents], dtype=object
-        )
-        wid = nn.stable_hash_ids(toks, self.word_vocab)
-        word_v = w["word_emb"][wid]                                     # (B,T,50)
-        cids = nn.char_ids([list(s) for s in sents], T, self.char_maxlen, self.char_vocab)
-        char_v = nn.char_cnn(cids, w["char_emb"], w["char_conv_w"], w["char_conv_b"], 3)
-        # POS/case branches: casing is computable (F1); POS uses the casing
-        # class as a proxy id (no stanza in this environment — SURVEY F4)
-        case_id = np.array(
-            [[casing_class(s[t]) if t < len(s) else 0 for t in range(T)] for s in sents],
-            dtype=np.int64,
-        )
-        case_v = w["case_emb"][case_id]
-        pos_v = w["pos_emb"][case_id % w["pos_emb"].shape[0]]
-        x = np.concatenate([word_v, char_v, pos_v, case_v], axis=-1)    # (B,T,98)
+        uniq: dict[str, int] = {"": 0}
+        for s in sents:
+            for t in s[:T]:
+                if t not in uniq:
+                    uniq[t] = len(uniq)
+        fmat = self._token_features(list(uniq))                          # (U,98)
+        idx = np.zeros((B, T), dtype=np.int64)
+        for b, s in enumerate(sents):
+            for ti, t in enumerate(s[:T]):
+                idx[b, ti] = uniq[t]
+        x = fmat[idx]                                                    # (B,T,98)
         h = np.tanh(x @ w["proj_w"] + w["proj_b"])                      # (B,T,d_model)
         h = nn.bilstm(h, w, self.layers)                                # (B,T,2H)
         h = nn.multihead_attention(h, w, self.heads, mask)
@@ -108,10 +138,33 @@ class TaggerKernel:
 
     # ---------------- decode ----------------
 
+    CHUNK = 128  # sub-batch rows: keeps the LSTM/attention working set
+    #              cache-resident — large padded batches go memory-
+    #              bandwidth-bound when many workers run per box
+    #              (measured best under 16-32-worker concurrency)
+
     def tag(self, sents: list[list[str]]) -> tuple[list[list[str]], np.ndarray]:
-        """Batch decode → (BIO tag lists aligned 1:1 with tokens, scores)."""
+        """Batch decode → (BIO tag lists aligned 1:1 with tokens, scores).
+
+        Sentences are length-bucketed before chunking: each sub-batch
+        pads only to its own max length, so short code lines don't pay
+        the long-line O(T)/O(T²) cost (the reference pads everything to
+        the global maxlen, data_utils.py:208-219 — a deliberate
+        physical-plan improvement, not a semantic change)."""
         if not sents:
             return [], np.zeros(0, dtype=np.float32)
+        order = sorted(range(len(sents)), key=lambda i: len(sents[i]))
+        tags_out: list[list[str] | None] = [None] * len(sents)
+        scores_out = np.zeros(len(sents), dtype=np.float32)
+        for start in range(0, len(order), self.CHUNK):
+            idxs = order[start : start + self.CHUNK]
+            ctags, cscores = self._tag_chunk([sents[i] for i in idxs])
+            for j, i in enumerate(idxs):
+                tags_out[i] = ctags[j]
+                scores_out[i] = cscores[j]
+        return tags_out, scores_out  # type: ignore[return-value]
+
+    def _tag_chunk(self, sents: list[list[str]]) -> tuple[list[list[str]], np.ndarray]:
         lengths = np.array([min(len(s), MAX_SEQ_LEN) for s in sents], dtype=np.int64)
         T = max(1, int(lengths.max()))
         sents = [s[:MAX_SEQ_LEN] for s in sents]

@@ -17,30 +17,101 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         n_partitions: int = 8,
+                         driver_threshold: int = 2_000_000) -> DataFrame:
+    """edges(src long, dst long) undirected → (node long, component long),
+    component = min reachable node id. Deterministic.
+
+    Physical strategy is size-adaptive, like AQE picking a broadcast
+    join: alias graphs are vocabulary-sized (distinct linked surfaces),
+    orders of magnitude below corpus scale, so up to `driver_threshold`
+    edges they are collected and solved with driver union-find in
+    milliseconds — ~10 distributed rounds of shuffle latency buy nothing
+    there. Above the threshold the distributed min-label fixpoint with
+    pointer jumping runs (O(log diameter) rounds)."""
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(edges)
+    return _distributed_cc(edges, max_iter, n_partitions)
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    rows = edges.select("src", "dst").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(int(r["src"])), find(int(r["dst"]))
+        if a != b:
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+    nodes = {int(r["src"]) for r in rows} | {int(r["dst"]) for r in rows}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    spark = edges.sparkSession
+    if not out:
+        return spark.createDataFrame([], "node long, component long")
+    return spark.createDataFrame(out, "node long, component long")
+
+
+def _distributed_cc(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:
     """edges(src long, dst long) undirected → (node long, component long)
-    where component = min node id reachable. Deterministic."""
+    where component = min node id reachable. Deterministic.
+
+    Min-label propagation accelerated with pointer jumping
+    (component ← component-of-component each round), so convergence is
+    O(log diameter) rounds instead of O(diameter). The graph here is
+    vocabulary-sized (distinct surfaces), so every round is pinned to a
+    small fixed partition count — per-round latency, not data volume,
+    is the cost driver, and running it at corpus-wide parallelism only
+    adds scheduling overhead."""
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition(n_partitions, "src")
+        .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.coalesce(n_partitions).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        # neighbor labels: join edges with current labels on src
+        # 1) neighbor min: smallest label among each node's neighbors
         nbr = (
             sym.join(labels, sym.src == labels.node)
-            .select(F.col("dst").alias("node"), F.col("component"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("component"))
         )
-        new_labels = (
+        merged = (
             labels.select("node", "component")
             .union(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # 2) pointer jump: follow component → its component (path halving)
+        jump = merged.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
+        new_labels = (
+            merged.join(jump, merged.component == jump.jnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("jcomp", F.col("component"))
+                ).alias("component"),
+            )
+            .coalesce(n_partitions)
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -54,27 +125,30 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-def canonicalize(mentions: DataFrame, pairs: DataFrame) -> DataFrame:
-    """mentions(etype, surface, ...) + linked pairs → alias table
+def canonicalize(surfaces: DataFrame, pairs: DataFrame) -> DataFrame:
+    """surfaces(etype, surface, freq) + linked pairs → alias table
     (entity_id, canonical, etype, alias).
 
-    Node ids are deterministic dense ranks over (etype, surface); the
-    canonical surface of a component is its most frequent alias
-    (mention count desc, surface asc tiebreak). Singleton surfaces form
-    their own entity."""
+    `surfaces` is the distinct surface vocabulary (pre-aggregated once by
+    the caller and cached — every downstream action here would otherwise
+    re-shuffle the corpus-scale mention table). The canonical surface of
+    a component is its most frequent alias (freq desc, surface asc
+    tiebreak). Singleton surfaces form their own entity."""
     from pyspark.sql import Window as W
 
-    surf = (
-        mentions.groupBy("etype", "surface")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    surf = surfaces.select("etype", "surface", "freq")
     # node id = xxhash64(etype, surface): deterministic AND shuffle-free to
     # assign (a global row_number would funnel through one partition at scale)
     ids = surf.withColumn("node", F.xxhash64("etype", "surface"))
     a = ids.select("etype", F.col("surface").alias("surface_a"), F.col("node").alias("src"))
     b = ids.select("etype", F.col("surface").alias("surface_b"), F.col("node").alias("dst"))
-    edges = pairs.join(a, ["etype", "surface_a"]).join(b, ["etype", "surface_b"]).select("src", "dst")
+    edges = (
+        pairs.join(a, ["etype", "surface_a"]).join(b, ["etype", "surface_b"])
+        .select("src", "dst")
+        .persist()
+    )
     comp = connected_components(edges)
+    edges.unpersist(blocking=False)
     labeled = (
         ids.join(comp, ids.node == comp.node, "left")
         .select(

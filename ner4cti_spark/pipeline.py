@@ -59,12 +59,23 @@ def extract_mentions(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig
 
 def link_entities(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Edges = exact-normalized equality (all etypes) ∪ MinHash-LSH fuzzy
-    pairs (named etypes only — indicators/CVEs are identities)."""
-    fuzzy = candidate_pairs_sql(mentions, sim_threshold=cfg.link_threshold)
-    pairs = exact_pairs(mentions).unionByName(fuzzy).dropDuplicates(
+    pairs (named etypes only — indicators/CVEs are identities).
+
+    The distinct-surface vocabulary is aggregated from the corpus-scale
+    mention table exactly ONCE and cached; every linking stage reads the
+    cache (orders of magnitude smaller than the corpus)."""
+    from pyspark.sql import functions as F
+
+    surfaces = (
+        mentions.groupBy("etype", "surface").agg(F.count(F.lit(1)).alias("freq")).persist()
+    )
+    surfaces.count()  # materialize the one corpus-scale aggregation
+    fuzzy = candidate_pairs_sql(surfaces, sim_threshold=cfg.link_threshold)
+    pairs = exact_pairs(surfaces).unionByName(fuzzy).dropDuplicates(
         ["etype", "surface_a", "surface_b"]
     )
-    return canonicalize(mentions, pairs)
+    out = canonicalize(surfaces, pairs)
+    return out
 
 
 def run_pipeline(spark: SparkSession, corpus: DataFrame,

@@ -45,6 +45,15 @@ def get_spark(
     locally; on a real cluster you would size it to ~2-3× total cores and
     let AQE coalesce down.
     """
+    # One BLAS thread per Python worker: N workers × default-N-threaded
+    # OpenBLAS oversubscribes the box N× and *slows down* with more
+    # workers (SURVEY §7 "CPU thread pinning so tasks don't
+    # oversubscribe"). Must be set before the JVM forks workers; the
+    # executorEnv configs below carry the same pin to real clusters.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else 0
@@ -65,6 +74,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("NER4CTI_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

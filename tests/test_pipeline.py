@@ -101,14 +101,19 @@ def test_triples_predicates(result):
 
 
 def test_connected_components_chain_and_clique(spark):
+    from ner4cti_spark.linking.components import _distributed_cc, _driver_union_find
+
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (20, 22)],
         "src long, dst long",
     )
-    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
-    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
-    assert comp[10] == comp[11] == 10
-    assert comp[20] == comp[21] == comp[22] == 20
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # both physical strategies must agree (size-adaptive dispatch picks
+    # driver union-find here; the distributed fixpoint runs at scale)
+    for impl in (connected_components, _driver_union_find,
+                 lambda e: _distributed_cc(e, max_iter=20, n_partitions=4)):
+        comp = {r["node"]: r["component"] for r in impl(edges).collect()}
+        assert comp == expected, impl
 
 
 def test_parallelism_invariance(spark, corpus):
