@@ -36,15 +36,23 @@ class TaggerKernel:
         weights: dict[str, np.ndarray],
         neural_scale: float = 0.1,
         decode: str = "viterbi",
+        phrases: dict[tuple[str, ...], tuple[str, str]] | None = None,
+        use_patterns: bool = True,
     ) -> None:
+        """phrases: token-tuple (lowercased) → (etype, canonical). Default
+        is the built-in CTI gazetteer; pass a corpus-induced lexicon
+        (e.g. from the DNRTI/MalwareDB train split, operators/conll.py)
+        to retarget the tagger. use_patterns toggles the regex indicator
+        classes (disable for tagsets without cve/indicator)."""
         self.w = weights
         p = weights["_profile"]
         (self.word_vocab, self.char_vocab, self.char_maxlen,
          self.hidden, self.layers, self.heads, self.d_model) = (int(x) for x in p)
         self.neural_scale = neural_scale
         self.decode = decode
-        self.phrases = gazetteer.phrase_index()
-        self.max_phrase = gazetteer.MAX_PHRASE_LEN
+        self.phrases = phrases if phrases is not None else gazetteer.phrase_index()
+        self.max_phrase = max((len(k) for k in self.phrases), default=1)
+        self.use_patterns = use_patterns
         # per-executor caches: code corpora repeat tokens heavily, so
         # token-level features (word/char/pos/case, 98 dims) and
         # indicator classes are computed once per distinct token
@@ -78,6 +86,9 @@ class TaggerKernel:
                         break
                 if matched:
                     i += matched
+                    continue
+                if not self.use_patterns:
+                    i += 1
                     continue
                 tok = sent[i]
                 if tok in self._class_cache:

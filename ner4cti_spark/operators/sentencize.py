@@ -28,7 +28,7 @@ def sentencize(corpus: DataFrame) -> DataFrame:
         "path",
         "commit",
         "sha256",
-        F.posexplode(F.split(F.col("content"), "\n")).alias("sent_id", "line"),
+        F.posexplode(F.split(F.col("content"), r"\r\n|\r|\n")).alias("sent_id", "line"),
     )
     return (
         lines.withColumn("line", F.trim(F.col("line")))

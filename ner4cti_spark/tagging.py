@@ -33,13 +33,39 @@ TAGGED_SCHEMA = (
 )
 
 
-def _get_kernel(weights_bc, neural_scale: float, decode: str) -> TaggerKernel:
-    key = id(weights_bc)
+def _get_kernel(weights_bc, neural_scale: float, decode: str,
+                phrases_bc=None, use_patterns: bool = True) -> TaggerKernel:
+    key = (id(weights_bc), id(phrases_bc))
     k = _KERNEL_CACHE.get(key)
     if k is None:
-        k = TaggerKernel(weights_bc.value, neural_scale=neural_scale, decode=decode)
+        k = TaggerKernel(
+            weights_bc.value, neural_scale=neural_scale, decode=decode,
+            phrases=phrases_bc.value if phrases_bc is not None else None,
+            use_patterns=use_patterns,
+        )
         _KERNEL_CACHE[key] = k
     return k
+
+
+def tag_token_frames(df: DataFrame, weights_bc, phrases_bc=None,
+                     use_patterns: bool = True, neural_scale: float = 0.1,
+                     decode: str = "viterbi") -> DataFrame:
+    """Generic tagging over (doc_id, sent_id, tokens) frames (e.g. CoNLL
+    splits) with an optional corpus-induced lexicon broadcast."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _get_kernel(weights_bc, neural_scale, decode, phrases_bc, use_patterns)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tags, _scores = kernel.tag([list(t) for t in pdf["tokens"]])
+            out = pdf[["doc_id", "sent_id", "tokens"]].copy()
+            out["tags"] = tags
+            yield out
+
+    return df.mapInPandas(
+        run, schema="doc_id string, sent_id long, tokens array<string>, tags array<string>"
+    )
 
 
 def salted_repartition(sentences: DataFrame, num_partitions: int, salt_buckets: int = 64
