@@ -63,6 +63,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "span_extract": (Q.q_span_extract_sql, Q.SQL_SPAN_EXTRACT),
     # §2.7 set ops
     "set_ops_tokens": (Q.q_set_ops_tokens, Q.SQL_SET_OPS_TOKENS),
+    # J6 similar-word top-k + A9 softmax
+    "similar_words_topk": (Q.q_similar_words_topk, Q.SQL_SIMILAR_WORDS_TOPK),
+    # streaming window semantics on the batch table
+    "windowed_event_counts": (Q.q_windowed_event_counts, Q.SQL_WINDOWED_EVENT_COUNTS),
     # classic OLAP shapes
     "pricing_summary": (Q.q_pricing_summary, Q.SQL_PRICING_SUMMARY),
     "top_revenue_orders": (Q.q_top_revenue_orders, Q.SQL_TOP_REVENUE_ORDERS),
@@ -82,6 +86,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_lsh_buckets": (D.q_embedding_lsh_buckets, D.SQL_EMBEDDING_LSH_BUCKETS),
     # graph: connected components vs recursive-CTE oracle
     "connected_components": (D.q_connected_components, D.SQL_CONNECTED_COMPONENTS),
+    # M12 Word2Vec training / multimodal / reference-corpus eval (rows-only)
+    "word2vec_vectors": (D.q_word2vec_vectors, None),
+    "media_features": (D.q_media_features, None),
+    "dnrti_eval": (D.q_dnrti_eval, None),
     # CTI pipeline (model kernels — non-SQL-expressible, rows-only checks)
     "cti_mentions": (_cti_query("mentions"), None),
     "cti_entities": (_cti_query("entities"), None),

@@ -555,3 +555,61 @@ SQL_CONNECTED_COMPONENTS = """
     FROM reach GROUP BY a
 """
 SQL_CONNECTED_COMPONENTS = "WITH RECURSIVE " + SQL_CONNECTED_COMPONENTS.lstrip()[len("WITH "):]
+
+
+# ----------------------------- M12: Word2Vec embedding training (rows-only)
+
+def q_word2vec_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 (wod2vec_embedding.py:27-47): Word2Vec trained at scale with
+    pyspark.ml (seeded, 1 partition for determinism at this size).
+    Rows-only driver check (SGD training is not ANSI-SQL-expressible)."""
+    from pyspark.ml.feature import Word2Vec
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("tokens")
+    )
+    w2v = Word2Vec(
+        vectorSize=32, minCount=2, seed=42, numPartitions=1,
+        inputCol="tokens", outputCol="vec",
+    )
+    model = w2v.fit(docs)
+    return model.getVectors().select("word", F.col("vector").cast("string").alias("vector"))
+
+
+# ------------------------------- multimodal feature extraction (rows-only)
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → deterministic features via mapInPandas
+    (codec step stubbed — operators/multimodal.py)."""
+    from .operators.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(spark, n=120))
+
+
+# ----------------------- DNRTI reference-corpus evaluation (rows-only)
+
+def q_dnrti_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon induced from the DNRTI train split → tag test split →
+    reference eval metrics (token accuracy, weighted F1, span P/R/F1)."""
+    import os
+
+    from .kernel.weights import build_weights
+    from .operators import conll
+    from .tagging import tag_token_frames
+
+    schema = ("accuracy double, n_tokens long, weighted_f1 double, "
+              "precision double, recall double, f1 double")
+    base = "/root/reference/DNRTI_Dataset"
+    if not os.path.exists(f"{base}/test.txt"):
+        return spark.createDataFrame([], schema)
+    train = conll.map_dnrti_tags(conll.read_conll(spark, f"{base}/train.txt"))
+    test = conll.map_dnrti_tags(conll.read_conll(spark, f"{base}/test.txt")).cache()
+    lex = conll.induce_lexicon(train)
+    sc = spark.sparkContext
+    pred = tag_token_frames(
+        test.select("doc_id", "sent_id", "tokens"),
+        sc.broadcast(build_weights()), sc.broadcast(lex),
+    ).cache()
+    m = conll.evaluate_tags(pred, test)
+    prf = conll.span_prf(conll.extract_span_rows(pred), conll.extract_span_rows(test))
+    return m.crossJoin(prf.select("precision", "recall", "f1"))

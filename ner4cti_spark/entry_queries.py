@@ -677,3 +677,105 @@ SQL_SPAN_EXTRACT = f"""
     FROM spans WHERE is_ent = 1
     GROUP BY doc_id, span_id
 """
+
+
+# ------------------------------ J6: similar-word top-k join + A9 softmax
+
+def q_similar_words_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (security_augmentation.py:25-56): top-4 similar words per vocab
+    word with softmaxed scores (A9). Similarity = character-bigram
+    cosine via inverted-index join (the scale path — no O(V²) cross
+    join); softmax over each word's top-k via window functions."""
+    vocab = q_vocab_word_freq(spark, sf_dir).select("word")
+    grams = vocab.select(
+        "word",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.length("word") - 2, F.lit(0))),
+                    lambda i: F.col("word").substr(i + F.lit(1), F.lit(2)),
+                )
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("word").agg(F.count(F.lit(1)).alias("ng"))
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.word") != F.col("b.word")))
+        .groupBy(F.col("a.word").alias("word"), F.col("b.word").alias("other"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(counts.withColumnRenamed("word", "word").alias("ca"), "word")
+        .join(
+            counts.withColumnRenamed("word", "other").withColumnRenamed("ng", "ngb").alias("cb"),
+            "other",
+        )
+        .withColumn("cos", F.col("shared") / F.sqrt(F.col("ng") * F.col("ngb")))
+    )
+    w = W.partitionBy("word").orderBy(F.desc("cos"), F.asc("other"))
+    topk = pairs.withColumn("rk", F.row_number().over(w).cast("long")).filter(F.col("rk") <= 4)
+    wmax = W.partitionBy("word")
+    soft = (
+        topk.withColumn("m", F.max("cos").over(wmax))
+        .withColumn("e", F.exp(F.col("cos") - F.col("m")))
+        .withColumn("softmax", F.col("e") / F.sum("e").over(wmax))
+    )
+    return soft.select(
+        "word", "rk", "other", F.round("cos", 6).alias("cos"),
+        F.round("softmax", 6).alias("softmax"),
+    )
+
+
+SQL_SIMILAR_WORDS_TOPK = f"""
+    WITH vocab AS (SELECT word FROM ({SQL_VOCAB_WORD_FREQ})),
+    grams AS (
+      SELECT DISTINCT word, substr(word, i, 2) AS g
+      FROM vocab, LATERAL (
+        SELECT UNNEST(generate_series(1, greatest(length(word) - 1, 1))) AS i
+      )
+    ),
+    counts AS (SELECT word, count(*) AS ng FROM grams GROUP BY word),
+    pairs AS (
+      SELECT a.word AS word, b.word AS other, count(*) AS shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.word <> b.word
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.word, p.other, p.shared * 1.0 / sqrt(ca.ng * cb.ng) AS cos
+      FROM pairs p
+      JOIN counts ca ON ca.word = p.word
+      JOIN counts cb ON cb.word = p.other
+    ),
+    topk AS (
+      SELECT word, other, cos,
+             row_number() OVER (PARTITION BY word ORDER BY cos DESC, other ASC) AS rk
+      FROM scored QUALIFY rk <= 4
+    ),
+    withmax AS (
+      SELECT *, max(cos) OVER (PARTITION BY word) AS m FROM topk
+    )
+    SELECT word, CAST(rk AS BIGINT) AS rk, other, round(cos, 6) AS cos,
+           round(exp(cos - m) / sum(exp(cos - m)) OVER (PARTITION BY word), 6) AS softmax
+    FROM withmax
+"""
+
+
+# --------------------------- streaming-window semantics (batch-checkable)
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window aggregation, evaluated on the
+    batch table (same expression runs under readStream — streaming.py);
+    oracle = DuckDB time_bucket."""
+    from .streaming import windowed_event_counts
+
+    out = windowed_event_counts(load(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "sum_value",
+    )
+
+
+SQL_WINDOWED_EVENT_COUNTS = """
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""

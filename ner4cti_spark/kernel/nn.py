@@ -93,6 +93,17 @@ def bilstm(x: np.ndarray, w: dict[str, np.ndarray], layers: int) -> np.ndarray:
     return h
 
 
+def sinusoidal_pe(T: int, D: int) -> np.ndarray:
+    """(T, D) sin/cos positional table — W3 (Position_Emb.py:13-28):
+    pe[t, 2i] = sin(t / 10000^(2i/D)), pe[t, 2i+1] = cos(...)."""
+    pos = np.arange(T, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, D, 2, dtype=np.float32) * (-np.log(10000.0) / D))
+    pe = np.zeros((T, D), dtype=np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div[: pe[:, 1::2].shape[1]])
+    return pe
+
+
 def multihead_attention(x: np.ndarray, w: dict[str, np.ndarray], n_heads: int,
                         mask: np.ndarray) -> np.ndarray:
     """Scaled-dot multi-head self-attention + residual + LayerNorm (M4).

@@ -143,6 +143,7 @@ class TaggerKernel:
                 idx[b, ti] = uniq[t]
         x = fmat[idx]                                                    # (B,T,98)
         h = np.tanh(x @ w["proj_w"] + w["proj_b"])                      # (B,T,d_model)
+        h = h + nn.sinusoidal_pe(T, h.shape[-1])                        # W3 positional encoding
         h = nn.bilstm(h, w, self.layers)                                # (B,T,2H)
         h = nn.multihead_attention(h, w, self.heads, mask)
         return h @ w["emit_w"] + w["emit_b"]                            # (B,T,L)

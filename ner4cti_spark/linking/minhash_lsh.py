@@ -76,15 +76,24 @@ def surface_shingles(df: DataFrame, text_col: str = "norm", n: int = 3) -> DataF
     )
 
 
-def _minhash_cols(n_hashes: int = N_HASHES):
-    """Min over md5(seed‖shingle) hex strings — a portable minhash family
-    (same construction is expressible in ANSI SQL for the oracle)."""
-    return [
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"h{i}:"), s)))
-        ).alias(f"mh{i}")
-        for i in range(n_hashes)
-    ]
+def _minhash(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(etype, surface, shingles[]) → + mh0..mhN minhash columns.
+
+    Min over md5(seed‖shingle) hex strings — a portable minhash family
+    (same construction is expressible in ANSI SQL for the oracle).
+    Computed via explode + groupBy-min with REGULAR expressions: the
+    tempting one-liner `array_min(transform(shingles, s -> md5(...)))`
+    miscompiles under Spark 4.1 whole-stage codegen when several such
+    lambdas share a select (lambda-variable binding is plan-dependent —
+    observed returning different minhashes for identical input across
+    otherwise-identical runs)."""
+    exploded = sh.select("etype", "surface", F.explode("shingles").alias("s"))
+    return exploded.groupBy("etype", "surface").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("s")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
 
 
 def candidate_pairs_sql(
@@ -106,7 +115,8 @@ def candidate_pairs_sql(
         .distinct()
         .withColumn("norm", normalize_surface(F.col("surface")))
     )
-    sh = surface_shingles(base).select("etype", "surface", "shingles", *_minhash_cols(n_hashes))
+    sh = surface_shingles(base).select("etype", "surface", "shingles")
+    mh = _minhash(sh, n_hashes)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -115,11 +125,10 @@ def candidate_pairs_sql(
             for b in range(n_bands)
         ]
     )
-    bucketed = sh.select("etype", "surface", "shingles",
-                         F.explode(bands).alias("bucket")).distinct()
+    bucketed = mh.select("etype", "surface", F.explode(bands).alias("bucket")).distinct()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -130,10 +139,14 @@ def candidate_pairs_sql(
             F.col("a.etype").alias("etype"),
             F.col("a.surface").alias("surface_a"),
             F.col("b.surface").alias("surface_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["etype", "surface_a", "surface_b"])
+    )
+    sa = sh.select("etype", F.col("surface").alias("surface_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select("etype", F.col("surface").alias("surface_b"), F.col("shingles").alias("sh_b"))
+    pairs = (
+        cand.join(sa, ["etype", "surface_a"])
+        .join(sb, ["etype", "surface_b"])
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

@@ -35,7 +35,15 @@ TAGGED_SCHEMA = (
 
 def _get_kernel(weights_bc, neural_scale: float, decode: str,
                 phrases_bc=None, use_patterns: bool = True) -> TaggerKernel:
-    key = (id(weights_bc), id(phrases_bc))
+    # keyed by the broadcast's dump-file path (stable, unique per
+    # broadcast, present on both driver and workers) — NOT id(): a GC'd
+    # broadcast's address can be reused, which would silently serve a
+    # kernel built from a different weights/lexicon broadcast
+    def _bkey(bc) -> str:
+        return getattr(bc, "_path", None) or f"id:{id(bc)}"
+
+    key = (_bkey(weights_bc), _bkey(phrases_bc) if phrases_bc is not None else "-",
+           neural_scale, decode, use_patterns)
     k = _KERNEL_CACHE.get(key)
     if k is None:
         k = TaggerKernel(
