@@ -613,3 +613,68 @@ def q_dnrti_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = conll.evaluate_tags(pred, test)
     prf = conll.span_prf(conll.extract_span_rows(pred), conll.extract_span_rows(test))
     return m.crossJoin(prf.select("precision", "recall", "f1"))
+
+
+# -------------------------- embedding-cosine near-duplicate detection
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: sign-projection LSH bucketing (planes =
+    first 4 vectors) then exact double-precision cosine within buckets,
+    threshold 0.45. The 100 TB path: candidate generation is the bucket
+    equi-join — the O(n²) pair space never materializes."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    planes = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("plane_id"), F.col("e").alias("p")
+    )
+    dot_pe = F.aggregate(F.zip_with("p", "e", lambda a, b: a * b), F.lit(0.0),
+                         lambda acc, x: acc + x)
+    bits = (
+        F.broadcast(planes).crossJoin(emb)
+        .select("vec_id", "plane_id", F.when(dot_pe >= 0, "1").otherwise("0").alias("bit"))
+    )
+    bucketed = bits.groupBy("vec_id").agg(
+        F.concat_ws("", F.transform(
+            F.sort_array(F.collect_list(F.struct("plane_id", "bit"))), lambda s: s["bit"]
+        )).alias("bucket")
+    ).join(emb, "vec_id")
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))  # noqa: E731
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (dot_ab / (norm(F.col("a.e")) * norm(F.col("b.e")))).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.45)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    planes AS (SELECT vec_id AS plane_id, e AS p FROM emb WHERE vec_id < 4),
+    bits AS (
+      SELECT emb.vec_id, planes.plane_id,
+             CASE WHEN list_dot_product(planes.p, emb.e) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM planes CROSS JOIN emb
+    ),
+    bucketed AS (
+      SELECT b.vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket, any_value(e.e) AS e
+      FROM bits b JOIN emb e ON b.vec_id = e.vec_id GROUP BY b.vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+"""

@@ -61,10 +61,16 @@ SQL_VOCAB_WORD_FREQ = f"""
 
 def q_vocab_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 (data_utils.py:109): id by freq rank, deterministic tiebreak
-    (freq desc, word asc), +2 specials offset for words."""
+    (freq desc, word asc), +2 specials offset for words. Uses the
+    two-phase scalable ranker (operators/rank.py) — a bare global window
+    would funnel the vocabulary through one task at scale."""
+    from .operators.rank import global_row_number
+
     vocab = q_vocab_word_freq(spark, sf_dir)
-    w = W.orderBy(F.desc("freq"), F.asc("word"))
-    return vocab.withColumn("id", (F.row_number().over(w) + F.lit(1)).cast("long"))
+    ranked = global_row_number(
+        vocab, [F.desc("freq"), F.asc("word")], out_col="rn", num_partitions=8
+    )
+    return ranked.withColumn("id", (F.col("rn") + 1).cast("long")).drop("rn")
 
 
 SQL_VOCAB_RANK = f"""

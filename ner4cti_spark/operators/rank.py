@@ -1,0 +1,55 @@
+"""Scalable global row numbering.
+
+`row_number().over(Window.orderBy(...))` with no partitionBy funnels the
+whole dataset through ONE task — correct at test scale, a wall at 100 TB.
+This operator computes identical ids in two scalable phases:
+
+1. range-repartition on the sort key (samples ranges, so partitions are
+   globally ordered), then per-partition local row_number via
+   mapInPandas-free SQL (spark_partition_id + window within partition);
+2. broadcast the per-partition row counts and add the exclusive prefix
+   sum as an offset.
+
+Result is bit-identical to the single-partition window (same total
+order), verified against the DuckDB oracle by the vocab_rank query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append 1-based global row number under the given total order.
+    `order` must be a deterministic total order (include a tiebreak)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order)
+    pid = F.spark_partition_id().alias("_pid")
+    local_w = W.partitionBy("_pid").orderBy(*order)
+    local = (
+        ranged.withColumn("_pid", pid)
+        .withColumn("_local_rn", F.row_number().over(local_w))
+        .persist()
+    )
+    counts = (
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_cnt"]
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        local.withColumn(out_col, (F.col("_local_rn") + offset_map[F.col("_pid")]).cast("long"))
+        .drop("_pid", "_local_rn")
+    )

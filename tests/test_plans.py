@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just
+plans that pass. Checks Catalyst actually gives us predicate pushdown,
+column pruning, broadcast joins, and map-side partial aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema, plan
+
+
+def test_enrichment_join_broadcasts_dims(spark):
+    from ner4cti_spark.entry_queries import q_enrichment_join
+
+    plan = plan_of(q_enrichment_join(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocab_agg_has_partial_aggregation(spark):
+    from ner4cti_spark.entry_queries import q_vocab_word_freq
+
+    plan = plan_of(q_vocab_word_freq(spark, SF))
+    # partial (map-side) + final hash aggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_mention_alias_join_is_broadcast(spark):
+    """link_mentions must broadcast the vocabulary-sized alias table —
+    a sort-merge join here would shuffle the whole corpus."""
+    from ner4cti_spark import graph
+    from ner4cti_spark.corpus import generate_corpus
+    from ner4cti_spark.pipeline import PipelineConfig, extract_mentions, link_entities
+
+    corpus = generate_corpus(spark, n_docs=30)
+    cfg = PipelineConfig(num_partitions=4)
+    mentions = extract_mentions(spark, corpus, cfg)
+    ents = link_entities(mentions, cfg)
+    plan = plan_of(graph.link_mentions(mentions, ents))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_whole_stage_codegen_in_relational_path(spark):
+    from ner4cti_spark.entry_queries import q_pricing_summary
+
+    # AQE wraps the plan pre-execution and reports 0 codegen subtrees
+    # until runtime re-planning; disable it just for this probe
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = q_pricing_summary(spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan and "Found 0" not in plan, plan[:400]
+
+
+def test_no_cartesian_product_in_pipeline(spark):
+    from ner4cti_spark import graph
+    from ner4cti_spark.corpus import generate_corpus
+    from ner4cti_spark.pipeline import PipelineConfig, extract_mentions, link_entities
+
+    corpus = generate_corpus(spark, n_docs=30)
+    cfg = PipelineConfig(num_partitions=4)
+    mentions = extract_mentions(spark, corpus, cfg)
+    ents = link_entities(mentions, cfg)
+    triples = graph.build_triples(graph.link_mentions(mentions, ents), ents)
+    plan = plan_of(triples)
+    assert "CartesianProduct" not in plan, plan
