@@ -22,7 +22,7 @@ import numpy as np
 
 from . import gazetteer, nn
 from .crf import greedy_decode, viterbi_decode
-from .labels import ID2LABEL, LABEL2ID, N_LABELS, O_ID
+from .labels import CTI, LabelSpace
 
 MAX_SEQ_LEN = 256  # arguments.py:33
 LEX_HIT = 8.0
@@ -38,6 +38,7 @@ class TaggerKernel:
         decode: str = "viterbi",
         phrases: dict[tuple[str, ...], tuple[str, str]] | None = None,
         use_patterns: bool = True,
+        label_space: LabelSpace = CTI,
     ) -> None:
         """phrases: token-tuple (lowercased) → (etype, canonical). Default
         is the built-in CTI gazetteer; pass a corpus-induced lexicon
@@ -53,6 +54,11 @@ class TaggerKernel:
         self.phrases = phrases if phrases is not None else gazetteer.phrase_index()
         self.max_phrase = max((len(k) for k in self.phrases), default=1)
         self.use_patterns = use_patterns
+        self.ls = label_space
+        assert weights["emit_b"].shape[0] == label_space.n, (
+            "weights were built for a different label space — pass the same "
+            "label_space to build_weights and TaggerKernel"
+        )
         # per-executor caches: code corpora repeat tokens heavily, so
         # token-level features (word/char/pos/case, 98 dims) and
         # indicator classes are computed once per distinct token
@@ -65,8 +71,8 @@ class TaggerKernel:
         """(B,T,L) log-potentials from longest-match gazetteer + indicator
         patterns. The high-precision branch (stands in for M7)."""
         B = len(sents)
-        em = np.full((B, T, N_LABELS), LEX_OTHER, dtype=np.float32)
-        em[:, :, O_ID] = LEX_O
+        em = np.full((B, T, self.ls.n), LEX_OTHER, dtype=np.float32)
+        em[:, :, self.ls.o_id] = LEX_O
         for b, sent in enumerate(sents):
             n = min(len(sent), T)
             i = 0
@@ -77,11 +83,11 @@ class TaggerKernel:
                     hit = self.phrases.get(key)
                     if hit is not None:
                         etype = hit[0]
-                        em[b, i, LABEL2ID[f"B-{etype}"]] = LEX_HIT
-                        em[b, i, O_ID] = LEX_OTHER
+                        em[b, i, self.ls.label2id[f"B-{etype}"]] = LEX_HIT
+                        em[b, i, self.ls.o_id] = LEX_OTHER
                         for j in range(i + 1, i + span):
-                            em[b, j, LABEL2ID[f"I-{etype}"]] = LEX_HIT
-                            em[b, j, O_ID] = LEX_OTHER
+                            em[b, j, self.ls.label2id[f"I-{etype}"]] = LEX_HIT
+                            em[b, j, self.ls.o_id] = LEX_OTHER
                         matched = span
                         break
                 if matched:
@@ -97,8 +103,8 @@ class TaggerKernel:
                     etype = gazetteer.classify_token(tok)
                     self._class_cache[tok] = etype
                 if etype is not None:
-                    em[b, i, LABEL2ID[f"B-{etype}"]] = LEX_HIT
-                    em[b, i, O_ID] = LEX_OTHER
+                    em[b, i, self.ls.label2id[f"B-{etype}"]] = LEX_HIT
+                    em[b, i, self.ls.o_id] = LEX_OTHER
                 i += 1
         return em
 
@@ -195,7 +201,7 @@ class TaggerKernel:
             paths = greedy_decode(em, lengths)
             scores = np.take_along_axis(em, paths[:, :, None], axis=2)[:, :, 0].sum(axis=1)
         tags = [
-            [ID2LABEL[int(paths[b, t])] for t in range(int(lengths[b]))]
+            [self.ls.id2label[int(paths[b, t])] for t in range(int(lengths[b]))]
             for b in range(len(sents))
         ]
         scores = (scores / np.maximum(lengths, 1)).astype(np.float32)

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .labels import N_LABELS, bio_transition_mask
+from .labels import CTI, LabelSpace
 
 SEED = 42
 
@@ -53,9 +53,11 @@ REFERENCE = KernelProfile(
 )
 
 
-def build_weights(profile: KernelProfile = FAST, seed: int = SEED) -> dict[str, np.ndarray]:
+def build_weights(profile: KernelProfile = FAST, seed: int = SEED,
+                  label_space: LabelSpace = CTI) -> dict[str, np.ndarray]:
     rng = np.random.default_rng(seed)
     p = profile
+    N_LABELS = label_space.n
 
     def glorot(*shape: int) -> np.ndarray:
         limit = np.sqrt(6.0 / (shape[0] + shape[-1]))
@@ -80,7 +82,7 @@ def build_weights(profile: KernelProfile = FAST, seed: int = SEED) -> dict[str, 
         "gate_b": np.zeros(N_LABELS, dtype=np.float32),
         # CRF transitions: BIO structural mask + small learned-like noise
         "trans": (
-            np.asarray(bio_transition_mask(), dtype=np.float32)
+            np.asarray(label_space.bio_transition_mask(), dtype=np.float32)
             + (rng.standard_normal((N_LABELS, N_LABELS)) * 0.01).astype(np.float32)
         ),
     }

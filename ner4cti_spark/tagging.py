@@ -34,7 +34,8 @@ TAGGED_SCHEMA = (
 
 
 def _get_kernel(weights_bc, neural_scale: float, decode: str,
-                phrases_bc=None, use_patterns: bool = True) -> TaggerKernel:
+                phrases_bc=None, use_patterns: bool = True,
+                label_space=None) -> TaggerKernel:
     # keyed by the broadcast's dump-file path (stable, unique per
     # broadcast, present on both driver and workers) — NOT id(): a GC'd
     # broadcast's address can be reused, which would silently serve a
@@ -42,14 +43,17 @@ def _get_kernel(weights_bc, neural_scale: float, decode: str,
     def _bkey(bc) -> str:
         return getattr(bc, "_path", None) or f"id:{id(bc)}"
 
+    from .kernel.labels import CTI
+
+    ls = label_space or CTI
     key = (_bkey(weights_bc), _bkey(phrases_bc) if phrases_bc is not None else "-",
-           neural_scale, decode, use_patterns)
+           neural_scale, decode, use_patterns, tuple(ls.etypes))
     k = _KERNEL_CACHE.get(key)
     if k is None:
         k = TaggerKernel(
             weights_bc.value, neural_scale=neural_scale, decode=decode,
             phrases=phrases_bc.value if phrases_bc is not None else None,
-            use_patterns=use_patterns,
+            use_patterns=use_patterns, label_space=ls,
         )
         _KERNEL_CACHE[key] = k
     return k
@@ -57,12 +61,13 @@ def _get_kernel(weights_bc, neural_scale: float, decode: str,
 
 def tag_token_frames(df: DataFrame, weights_bc, phrases_bc=None,
                      use_patterns: bool = True, neural_scale: float = 0.1,
-                     decode: str = "viterbi") -> DataFrame:
+                     decode: str = "viterbi", label_space=None) -> DataFrame:
     """Generic tagging over (doc_id, sent_id, tokens) frames (e.g. CoNLL
     splits) with an optional corpus-induced lexicon broadcast."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kernel = _get_kernel(weights_bc, neural_scale, decode, phrases_bc, use_patterns)
+        kernel = _get_kernel(weights_bc, neural_scale, decode, phrases_bc,
+                             use_patterns, label_space)
         for pdf in batches:
             if pdf.empty:
                 continue
