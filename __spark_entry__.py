@@ -71,6 +71,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pricing_summary": (Q.q_pricing_summary, Q.SQL_PRICING_SUMMARY),
     "top_revenue_orders": (Q.q_top_revenue_orders, Q.SQL_TOP_REVENUE_ORDERS),
     "cube_counts": (Q.q_cube_counts, Q.SQL_CUBE_COUNTS),
+    "exists_semi_join": (Q.q_exists_semi_join, Q.SQL_EXISTS_SEMI_JOIN),
+    "pivot_returnflag": (Q.q_pivot_returnflag, Q.SQL_PIVOT_RETURNFLAG),
+    "event_range_join": (Q.q_event_range_join, Q.SQL_EVENT_RANGE_JOIN),
     # training-data pipeline: deduplication
     "dedup_exact": (D.q_dedup_exact, D.SQL_DEDUP_EXACT),
     "dedup_minhash": (D.q_dedup_minhash, D.SQL_DEDUP_MINHASH),

@@ -785,3 +785,77 @@ SQL_WINDOWED_EVENT_COUNTS = """
            event_type, count(*) AS n, round(sum(value), 4) AS sum_value
     FROM events GROUP BY 1, 2
 """
+
+
+# -------------------------------------------- semi-join / pivot / range join
+
+def q_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi: orders having a high-discount lineitem,
+    counted per priority."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_EXISTS_SEMI_JOIN = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+"""
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus columns per returnflag (engine pivot on the Spark
+    side; portable CASE aggregation in the oracle)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0.0)).alias("qty_open"),
+            F.coalesce("F", F.lit(0.0)).alias("qty_filled"),
+        )
+    )
+
+
+SQL_PIVOT_RETURNFLAG = """
+    SELECT l_returnflag,
+           coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0.0) AS qty_open,
+           coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0.0) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_event_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range self-join: pairs of events from the same user within
+    60 seconds (the interval-join shape; Spark plans a range condition
+    after the equi-key, DuckDB an IEJoin)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.abs(F.unix_timestamp("a.ts") - F.unix_timestamp("b.ts")) <= 60),
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_close_pairs")
+    )
+
+
+SQL_EVENT_RANGE_JOIN = """
+    SELECT a.user_id, count(*) AS n_close_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch(a.ts) - epoch(b.ts)) <= 60
+    GROUP BY a.user_id
+"""

@@ -74,3 +74,68 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def stateful_user_totals(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "user_totals",
+):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals maintained in GroupState across micro-batches
+    (maxFilesPerTrigger=1 forces multiple batches so state carry-over is
+    actually exercised). Update-mode memory sink; the final row per user
+    equals the batch groupBy — tested.
+
+    This is the engine's template for custom stateful ops the built-in
+    aggregations can't express (e.g. per-entity mention accumulators with
+    custom eviction)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                            "sum_value": [round(total, 4)]})
+
+    out = events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final state per user = last emitted update
+    from pyspark.sql import Window as W
+
+    snap = spark.table(query_name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("user_id", "n_events", "sum_value")
+    )

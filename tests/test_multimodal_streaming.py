@@ -76,3 +76,22 @@ def test_windowed_event_counts_batch_semantics(spark):
     # every start aligned to 10-minute boundaries
     misaligned = agg.filter((F.minute("window_start") % 10 != 0) | (F.second("window_start") != 0))
     assert misaligned.count() == 0
+
+
+def test_stateful_user_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState carries state across micro-batches and the
+    final per-user totals equal the batch aggregation."""
+    src = str(tmp_path / "ev_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    got = st.stateful_user_totals(spark, src, str(tmp_path / "ckpt2"), "ut_test")
+    expected = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    diff1 = got.exceptAll(expected).count()
+    diff2 = expected.exceptAll(got).count()
+    assert diff1 == 0 and diff2 == 0
