@@ -26,9 +26,19 @@ def global_row_number(
     order: list[Column],
     out_col: str = "rn",
     num_partitions: int | None = None,
+    small_threshold: int = 100_000,
 ) -> DataFrame:
     """Append 1-based global row number under the given total order.
-    `order` must be a deterministic total order (include a tiebreak)."""
+    `order` must be a deterministic total order (include a tiebreak).
+
+    Size-adaptive: at or below `small_threshold` rows a plain global
+    window is cheaper (the two-phase plan's extra shuffle + counts
+    collect is pure overhead on small inputs); above it, the two-phase
+    range-partitioned plan avoids the single-task window."""
+    probe = df.limit(small_threshold + 1).count()
+    if probe <= small_threshold:
+        w = W.orderBy(*order)
+        return df.withColumn(out_col, F.row_number().over(w).cast("long"))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order)
     pid = F.spark_partition_id().alias("_pid")
