@@ -56,7 +56,7 @@ def main() -> None:
         timed(name, lambda q=q: q(spark, sf_dir).write.format("noop").mode("overwrite").save())
 
     # full KG pipeline — the north-rule metric. Corpus sized to SF.
-    n_docs = max(200, int(10000 * sf))
+    n_docs = max(200, int(40000 * sf))
     corpus = generate_corpus(spark, n_docs=n_docs).localCheckpoint(eager=True)
     t0 = time.time()
     out = run_pipeline(spark, corpus, PipelineConfig())
