@@ -74,6 +74,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "exists_semi_join": (Q.q_exists_semi_join, Q.SQL_EXISTS_SEMI_JOIN),
     "pivot_returnflag": (Q.q_pivot_returnflag, Q.SQL_PIVOT_RETURNFLAG),
     "event_range_join": (Q.q_event_range_join, Q.SQL_EVENT_RANGE_JOIN),
+    # O4: deterministic split (replaces the reference's unseeded shuffle)
+    "deterministic_split": (Q.q_deterministic_split, Q.SQL_DETERMINISTIC_SPLIT),
     # training-data pipeline: deduplication
     "dedup_exact": (D.q_dedup_exact, D.SQL_DEDUP_EXACT),
     "dedup_minhash": (D.q_dedup_minhash, D.SQL_DEDUP_MINHASH),

@@ -859,3 +859,29 @@ SQL_EVENT_RANGE_JOIN = """
      AND abs(epoch(a.ts) - epoch(b.ts)) <= 60
     GROUP BY a.user_id
 """
+
+
+# --------------------------- O4: deterministic split (no unseeded shuffle)
+
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 replacement: the reference splits by unseeded random shuffle
+    (read_MalwareTextDB.py:29-44) — irreproducible by design. The engine
+    pins an arithmetic 80/10/10 split (Knuth multiplicative hash — the
+    same integers in any engine), so splits are stable across runs,
+    engines, and cluster sizes."""
+    docs = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10)
+    split = (
+        F.when(h < 8, "train").when(h == 8, "valid").otherwise("test")
+    )
+    return docs.select(split.alias("split"), "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("docid_checksum")
+    )
+
+
+SQL_DETERMINISTIC_SPLIT = """
+    SELECT CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'valid' ELSE 'test' END AS split,
+           count(*) AS n_docs, sum(doc_id) AS docid_checksum
+    FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 10 AS h FROM documents)
+    GROUP BY 1
+"""
