@@ -15,12 +15,23 @@ def doc_uri() -> "F.Column":
     return F.concat_ws("@", F.col("repo"), F.col("path"), F.col("commit"))
 
 
-def link_mentions(mentions: DataFrame, entities: DataFrame) -> DataFrame:
-    """Attach canonical entity to each mention via broadcast alias join."""
-    alias_map = F.broadcast(
-        entities.select("etype", F.col("alias").alias("surface"), "canonical", "entity_id")
+def link_mentions(mentions: DataFrame, entities: DataFrame,
+                  broadcast_threshold: int = 5_000_000) -> DataFrame:
+    """Attach canonical entity to each mention via the alias table.
+
+    Size-adaptive join strategy: the alias table is vocabulary-sized for
+    named entities but grows with the corpus for indicators (hashes, IPs
+    are near-unique). Below the threshold it broadcasts (no shuffle of
+    the corpus-scale mention table); above, the hint is dropped and
+    Catalyst/AQE pick a shuffle join — at that size the broadcast would
+    not fit executors anyway."""
+    alias_tbl = entities.select(
+        "etype", F.col("alias").alias("surface"), "canonical", "entity_id"
     )
-    return mentions.join(alias_map, ["etype", "surface"], "left").withColumn(
+    n = alias_tbl.limit(broadcast_threshold + 1).count()
+    if n <= broadcast_threshold:
+        alias_tbl = F.broadcast(alias_tbl)
+    return mentions.join(alias_tbl, ["etype", "surface"], "left").withColumn(
         "canonical", F.coalesce("canonical", "surface")
     )
 

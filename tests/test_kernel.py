@@ -164,3 +164,14 @@ def test_tags_align_with_tokens():
     tags, scores = k.tag(sents)
     assert [len(t) for t in tags] == [len(s) for s in sents]
     assert len(scores) == 3
+
+
+def test_reference_dims_profile_builds_and_tags():
+    """The REFERENCE profile (arguments.py:121-136 dims: hidden 256,
+    4 BiLSTM layers, 8 heads) runs the same code path."""
+    from ner4cti_spark.kernel.weights import REFERENCE
+
+    k = TaggerKernel(build_weights(REFERENCE))
+    tags, _ = k.tag([SENT])
+    found = {(s, e) for _, _, s, e in extract_spans(SENT, tags[0])}
+    assert ("APT28", "threat-actor") in found
