@@ -76,6 +76,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_range_join": (Q.q_event_range_join, Q.SQL_EVENT_RANGE_JOIN),
     # O4: deterministic split (replaces the reference's unseeded shuffle)
     "deterministic_split": (Q.q_deterministic_split, Q.SQL_DETERMINISTIC_SPLIT),
+    # as-of join (window carry form)
+    "asof_last_view": (Q.q_asof_last_view, Q.SQL_ASOF_LAST_VIEW),
     # training-data pipeline: deduplication
     "dedup_exact": (D.q_dedup_exact, D.SQL_DEDUP_EXACT),
     "dedup_minhash": (D.q_dedup_minhash, D.SQL_DEDUP_MINHASH),

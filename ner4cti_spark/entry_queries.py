@@ -885,3 +885,46 @@ SQL_DETERMINISTIC_SPLIT = """
     FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 10 AS h FROM documents)
     GROUP BY 1
 """
+
+
+# ------------------------------------------------------------ as-of join
+
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior 'view' event
+    of the same user. Expressed as last_value over an ordered window
+    with a conditional carry — the single-pass form that avoids a
+    per-row subquery (at scale: one shuffle on user_id, sorted scan)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    asof = (
+        ev.withColumn(
+            "last_view_id",
+            F.last(
+                F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    return asof.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(F.col("last_view_id").isNotNull(), 1).otherwise(0)).alias("with_prior_view"),
+        F.max("last_view_id").alias("max_last_view_id"),
+    )
+
+
+SQL_ASOF_LAST_VIEW = """
+    WITH marked AS (
+      SELECT *,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_purchases,
+           sum(CASE WHEN last_view_id IS NOT NULL THEN 1 ELSE 0 END) AS with_prior_view,
+           max(last_view_id) AS max_last_view_id
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY user_id
+"""
