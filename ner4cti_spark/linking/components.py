@@ -136,10 +136,15 @@ def canonicalize(surfaces: DataFrame, pairs: DataFrame) -> DataFrame:
     tiebreak). Singleton surfaces form their own entity."""
     from pyspark.sql import Window as W
 
+    from ..linking.minhash_lsh import normalize_surface
+
     surf = surfaces.select("etype", "surface", "freq")
-    # node id = xxhash64(etype, surface): deterministic AND shuffle-free to
-    # assign (a global row_number would funnel through one partition at scale)
-    ids = surf.withColumn("node", F.xxhash64("etype", "surface"))
+    # node id = xxhash64(etype, NORMALIZED surface): deterministic,
+    # shuffle-free to assign (no global row_number funnel), AND it folds
+    # exact-normalization linking into the id itself — 'APT 28'/'APT-28'/
+    # 'apt28' share a node with no edge generation at all. Only fuzzy
+    # LSH pairs need explicit edges.
+    ids = surf.withColumn("node", F.xxhash64("etype", normalize_surface(F.col("surface"))))
     a = ids.select("etype", F.col("surface").alias("surface_a"), F.col("node").alias("src"))
     b = ids.select("etype", F.col("surface").alias("surface_b"), F.col("node").alias("dst"))
     edges = (

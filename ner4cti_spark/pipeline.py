@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import graph, lineage
 from .kernel.weights import FAST, KernelProfile, build_weights
 from .linking.components import canonicalize
-from .linking.minhash_lsh import candidate_pairs_sql, exact_pairs
+from .linking.minhash_lsh import candidate_pairs_sql
 from .operators.sentencize import sentencize, with_sha256
 from .tagging import salted_repartition, tag_mentions
 
@@ -70,12 +70,11 @@ def link_entities(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
         mentions.groupBy("etype", "surface").agg(F.count(F.lit(1)).alias("freq")).persist()
     )
     surfaces.count()  # materialize the one corpus-scale aggregation
+    # exact-normalized equality is folded into canonicalize's node ids
+    # (node = hash of normalized surface) — no edge generation needed;
+    # only fuzzy LSH pairs become explicit edges
     fuzzy = candidate_pairs_sql(surfaces, sim_threshold=cfg.link_threshold)
-    pairs = exact_pairs(surfaces).unionByName(fuzzy).dropDuplicates(
-        ["etype", "surface_a", "surface_b"]
-    )
-    out = canonicalize(surfaces, pairs)
-    return out
+    return canonicalize(surfaces, fuzzy)
 
 
 def run_pipeline(spark: SparkSession, corpus: DataFrame,
