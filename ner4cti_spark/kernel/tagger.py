@@ -59,11 +59,14 @@ class TaggerKernel:
             "weights were built for a different label space — pass the same "
             "label_space to build_weights and TaggerKernel"
         )
-        # per-executor caches: code corpora repeat tokens heavily, so
-        # token-level features (word/char/pos/case, 98 dims) and
-        # indicator classes are computed once per distinct token
+        # per-executor caches: code corpora repeat tokens AND whole lines
+        # heavily, so token-level features (word/char/pos/case), indicator
+        # classes, and full per-sentence decode results are each computed
+        # once per distinct input (exact sentence dedup, executor-local —
+        # no shuffle, identical results by determinism)
         self._feat_cache: dict[str, np.ndarray] = {}
         self._class_cache: dict[str, str | None] = {}
+        self._sent_cache: dict[tuple[str, ...], tuple[list[str], float]] = {}
 
     # ---------------- emissions ----------------
 
@@ -171,15 +174,32 @@ class TaggerKernel:
         physical-plan improvement, not a semantic change)."""
         if not sents:
             return [], np.zeros(0, dtype=np.float32)
-        order = sorted(range(len(sents)), key=lambda i: len(sents[i]))
         tags_out: list[list[str] | None] = [None] * len(sents)
         scores_out = np.zeros(len(sents), dtype=np.float32)
+        # executor-local exact sentence dedup: decode each distinct
+        # sentence once (cached across batches too)
+        todo: dict[tuple[str, ...], list[int]] = {}
+        for i, s in enumerate(sents):
+            key = tuple(s)
+            hit = self._sent_cache.get(key)
+            if hit is not None:
+                tags_out[i] = hit[0]
+                scores_out[i] = hit[1]
+            else:
+                todo.setdefault(key, []).append(i)
+        uniq = list(todo)
+        order = sorted(range(len(uniq)), key=lambda i: len(uniq[i]))
+        if len(self._sent_cache) > 1_000_000:
+            self._sent_cache.clear()
         for start in range(0, len(order), self.CHUNK):
             idxs = order[start : start + self.CHUNK]
-            ctags, cscores = self._tag_chunk([sents[i] for i in idxs])
-            for j, i in enumerate(idxs):
-                tags_out[i] = ctags[j]
-                scores_out[i] = cscores[j]
+            chunk_keys = [uniq[i] for i in idxs]
+            ctags, cscores = self._tag_chunk([list(k) for k in chunk_keys])
+            for j, key in enumerate(chunk_keys):
+                self._sent_cache[key] = (ctags[j], float(cscores[j]))
+                for i in todo[key]:
+                    tags_out[i] = ctags[j]
+                    scores_out[i] = cscores[j]
         return tags_out, scores_out  # type: ignore[return-value]
 
     def _tag_chunk(self, sents: list[list[str]]) -> tuple[list[list[str]], np.ndarray]:

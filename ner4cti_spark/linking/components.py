@@ -30,14 +30,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     milliseconds — ~10 distributed rounds of shuffle latency buy nothing
     there. Above the threshold the distributed min-label fixpoint with
     pointer jumping runs (O(log diameter) rounds)."""
-    n_edges = edges.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
-        return _driver_union_find(edges)
+    # single probe job: collect up to threshold+1 edges; only if the graph
+    # exceeds the threshold does the distributed fixpoint run (and the
+    # collected prefix is discarded)
+    rows = edges.select("src", "dst").limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
+        return _driver_union_find(edges, rows)
     return _distributed_cc(edges, max_iter, n_partitions)
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
-    rows = edges.select("src", "dst").collect()
+def _driver_union_find(edges: DataFrame, rows=None) -> DataFrame:
+    if rows is None:
+        rows = edges.select("src", "dst").collect()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
