@@ -352,22 +352,26 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        F.round(n_distinct / n_tok, 6).alias("type_token_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        # floor(x*1e4+0.5)/1e4, NOT round(): Spark rounds the shortest
+        # decimal rendering (HALF_UP) while DuckDB rounds the binary
+        # double — they disagree on exact .5 boundaries; floor over
+        # identical doubles is bit-deterministic in both engines
+        (F.floor((n_distinct / n_tok) * 10000.0 + 0.5) / 10000.0).alias("type_token_ratio"),
+        (F.floor(score * 10000.0 + 0.5) / 10000.0).alias("quality_score"),
     )
 
 
 SQL_QUALITY_SCORE = """
     SELECT doc_id,
            CAST(len(ws) AS BIGINT) AS n_tokens,
-           round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS type_token_ratio,
-           round(
+           floor((len(list_distinct(ws)) * 1.0 / len(ws)) * 10000.0 + 0.5) / 10000.0 AS type_token_ratio,
+           floor((
              least(len(ws) / 100.0, 1.0) * 0.3
              + (len(list_distinct(ws)) * 1.0 / len(ws)) * 0.4
              + least(list_aggregate(list_transform(ws, x -> length(x)), 'sum') * 1.0
                      / len(ws) / 8.0, 1.0) * 0.2
              + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                            * 1.0 / length(text) * 10.0, 1.0)) * 0.1, 6) AS quality_score
+                            * 1.0 / length(text) * 10.0, 1.0)) * 0.1) * 10000.0 + 0.5) / 10000.0 AS quality_score
     FROM (SELECT doc_id, text,
                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
           FROM documents)

@@ -845,7 +845,13 @@ def q_event_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a.user_id") == F.col("b.user_id"))
         & (F.col("a.event_id") < F.col("b.event_id"))
-        & (F.abs(F.unix_timestamp("a.ts") - F.unix_timestamp("b.ts")) <= 60),
+        & (
+            F.abs(
+                F.unix_micros(F.col("a.ts").cast("timestamp"))
+                - F.unix_micros(F.col("b.ts").cast("timestamp"))
+            )
+            <= 60_000_000
+        ),
     )
     return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_close_pairs")
@@ -856,7 +862,7 @@ SQL_EVENT_RANGE_JOIN = """
     SELECT a.user_id, count(*) AS n_close_pairs
     FROM events a JOIN events b
       ON a.user_id = b.user_id AND a.event_id < b.event_id
-     AND abs(epoch(a.ts) - epoch(b.ts)) <= 60
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
     GROUP BY a.user_id
 """
 
