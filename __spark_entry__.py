@@ -78,6 +78,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "deterministic_split": (Q.q_deterministic_split, Q.SQL_DETERMINISTIC_SPLIT),
     # as-of join (window carry form)
     "asof_last_view": (Q.q_asof_last_view, Q.SQL_ASOF_LAST_VIEW),
+    "value_percentiles": (Q.q_value_percentiles, Q.SQL_VALUE_PERCENTILES),
+    # grouped-map applyInPandas vs window oracle
+    "per_source_zscore": (D.q_per_source_zscore, D.SQL_PER_SOURCE_ZSCORE),
     # training-data pipeline: deduplication
     "dedup_exact": (D.q_dedup_exact, D.SQL_DEDUP_EXACT),
     "dedup_minhash": (D.q_dedup_minhash, D.SQL_DEDUP_MINHASH),

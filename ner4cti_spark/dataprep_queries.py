@@ -682,3 +682,39 @@ SQL_EMBEDDING_NEARDUP = """
     WHERE list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
 """
+
+
+# ---------------------- grouped-map applyInPandas (per-group model fit)
+
+def q_per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInPandas — the grouped-map API surface: per-source
+    z-score normalization of document lengths computed inside a pandas
+    group function (population std), verified against the window-function
+    oracle."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=0)
+        z = (pdf["n_chars"] - mu) / sd if sd > 0 else pdf["n_chars"] * 0.0
+        import numpy as np
+
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "source": pdf["source"],
+            "z": np.floor(z * 10000.0 + 0.5) / 10000.0,
+        })
+
+    return docs.groupBy("source").applyInPandas(zscore, "doc_id long, source string, z double")
+
+
+SQL_PER_SOURCE_ZSCORE = """
+    SELECT doc_id, source,
+           floor(CASE WHEN stddev_pop(n_chars) OVER w > 0
+                      THEN (n_chars - avg(n_chars) OVER w) / stddev_pop(n_chars) OVER w
+                      ELSE 0.0 END * 10000.0 + 0.5) / 10000.0 AS z
+    FROM documents
+    WINDOW w AS (PARTITION BY source)
+"""

@@ -934,3 +934,29 @@ SQL_ASOF_LAST_VIEW = """
     FROM marked WHERE event_type = 'purchase'
     GROUP BY user_id
 """
+
+
+# ------------------------------------------ percentiles (exact, interpolated)
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark percentile ≡
+    DuckDB quantile_cont; approx_percentile deliberately NOT used in an
+    oracle-checked query — sketch algorithms differ across engines)."""
+    ev = load(spark, sf_dir, "events")
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        r4(F.expr("percentile(value, 0.5)")).alias("p50"),
+        r4(F.expr("percentile(value, 0.9)")).alias("p90"),
+        r4(F.min("value")).alias("vmin"),
+        r4(F.max("value")).alias("vmax"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+    SELECT event_type,
+           floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+           floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+           floor(min(value) * 10000.0 + 0.5) / 10000.0 AS vmin,
+           floor(max(value) * 10000.0 + 0.5) / 10000.0 AS vmax
+    FROM events GROUP BY event_type
+"""
