@@ -39,6 +39,7 @@ class TaggerKernel:
         phrases: dict[tuple[str, ...], tuple[str, str]] | None = None,
         use_patterns: bool = True,
         label_space: LabelSpace = CTI,
+        sent_cache: bool = True,
     ) -> None:
         """phrases: token-tuple (lowercased) → (etype, canonical). Default
         is the built-in CTI gazetteer; pass a corpus-induced lexicon
@@ -67,6 +68,7 @@ class TaggerKernel:
         self._feat_cache: dict[str, np.ndarray] = {}
         self._class_cache: dict[str, str | None] = {}
         self._sent_cache: dict[tuple[str, ...], tuple[list[str], float]] = {}
+        self._sent_cache_on = sent_cache
 
     # ---------------- emissions ----------------
 
@@ -177,26 +179,32 @@ class TaggerKernel:
         tags_out: list[list[str] | None] = [None] * len(sents)
         scores_out = np.zeros(len(sents), dtype=np.float32)
         # executor-local exact sentence dedup: decode each distinct
-        # sentence once (cached across batches too)
+        # sentence once (cached across batches too). sent_cache=False
+        # forces every row through the model — the inference-bound
+        # benchmarking regime (real corpora dedup far less than the
+        # template-generated synthetic one).
         todo: dict[tuple[str, ...], list[int]] = {}
         for i, s in enumerate(sents):
             key = tuple(s)
-            hit = self._sent_cache.get(key)
+            hit = self._sent_cache.get(key) if self._sent_cache_on else None
             if hit is not None:
                 tags_out[i] = hit[0]
                 scores_out[i] = hit[1]
-            else:
+            elif self._sent_cache_on:
                 todo.setdefault(key, []).append(i)
+            else:
+                todo[(str(i),)] = [i]  # unique pseudo-key: no dedup
         uniq = list(todo)
-        order = sorted(range(len(uniq)), key=lambda i: len(uniq[i]))
+        order = sorted(range(len(uniq)), key=lambda i: len(sents[todo[uniq[i]][0]]))
         if len(self._sent_cache) > 1_000_000:
             self._sent_cache.clear()
         for start in range(0, len(order), self.CHUNK):
             idxs = order[start : start + self.CHUNK]
             chunk_keys = [uniq[i] for i in idxs]
-            ctags, cscores = self._tag_chunk([list(k) for k in chunk_keys])
+            ctags, cscores = self._tag_chunk([sents[todo[k][0]] for k in chunk_keys])
             for j, key in enumerate(chunk_keys):
-                self._sent_cache[key] = (ctags[j], float(cscores[j]))
+                if self._sent_cache_on:
+                    self._sent_cache[key] = (ctags[j], float(cscores[j]))
                 for i in todo[key]:
                     tags_out[i] = ctags[j]
                     scores_out[i] = cscores[j]

@@ -32,6 +32,7 @@ class PipelineConfig:
     link_threshold: float = 0.5
     num_partitions: int = 0          # 0 → default parallelism
     salt_buckets: int = 64
+    sent_cache: bool = True          # executor-local exact-sentence dedup
     profile: KernelProfile = FAST
 
 
@@ -52,7 +53,8 @@ def extract_mentions(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig
     n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism * 2
     sents = salted_repartition(sents, n_part, cfg.salt_buckets)
     mentions = tag_mentions(
-        sents.drop("bucket"), bc, neural_scale=cfg.neural_scale, decode=cfg.decode
+        sents.drop("bucket"), bc, neural_scale=cfg.neural_scale, decode=cfg.decode,
+        sent_cache=cfg.sent_cache,
     )
     return mentions
 

@@ -35,7 +35,7 @@ TAGGED_SCHEMA = (
 
 def _get_kernel(weights_bc, neural_scale: float, decode: str,
                 phrases_bc=None, use_patterns: bool = True,
-                label_space=None) -> TaggerKernel:
+                label_space=None, sent_cache: bool = True) -> TaggerKernel:
     # keyed by the broadcast's dump-file path (stable, unique per
     # broadcast, present on both driver and workers) — NOT id(): a GC'd
     # broadcast's address can be reused, which would silently serve a
@@ -47,13 +47,13 @@ def _get_kernel(weights_bc, neural_scale: float, decode: str,
 
     ls = label_space or CTI
     key = (_bkey(weights_bc), _bkey(phrases_bc) if phrases_bc is not None else "-",
-           neural_scale, decode, use_patterns, tuple(ls.etypes))
+           neural_scale, decode, use_patterns, tuple(ls.etypes), sent_cache)
     k = _KERNEL_CACHE.get(key)
     if k is None:
         k = TaggerKernel(
             weights_bc.value, neural_scale=neural_scale, decode=decode,
             phrases=phrases_bc.value if phrases_bc is not None else None,
-            use_patterns=use_patterns, label_space=ls,
+            use_patterns=use_patterns, label_space=ls, sent_cache=sent_cache,
         )
         _KERNEL_CACHE[key] = k
     return k
@@ -94,11 +94,11 @@ def salted_repartition(sentences: DataFrame, num_partitions: int, salt_buckets: 
 
 
 def tag_sentences(sentences: DataFrame, weights_bc, neural_scale: float = 0.1,
-                  decode: str = "viterbi") -> DataFrame:
+                  decode: str = "viterbi", sent_cache: bool = True) -> DataFrame:
     """sentences → tagged rows (tokens + aligned BIO tags + score)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kernel = _get_kernel(weights_bc, neural_scale, decode)
+        kernel = _get_kernel(weights_bc, neural_scale, decode, sent_cache=sent_cache)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -113,11 +113,11 @@ def tag_sentences(sentences: DataFrame, weights_bc, neural_scale: float = 0.1,
 
 
 def tag_mentions(sentences: DataFrame, weights_bc, neural_scale: float = 0.1,
-                 decode: str = "viterbi") -> DataFrame:
+                 decode: str = "viterbi", sent_cache: bool = True) -> DataFrame:
     """sentences → exploded mention rows (the UDTF shape, SURVEY §2.9)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kernel = _get_kernel(weights_bc, neural_scale, decode)
+        kernel = _get_kernel(weights_bc, neural_scale, decode, sent_cache=sent_cache)
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -175,3 +175,13 @@ def test_reference_dims_profile_builds_and_tags():
     tags, _ = k.tag([SENT])
     found = {(s, e) for _, _, s, e in extract_spans(SENT, tags[0])}
     assert ("APT28", "threat-actor") in found
+
+
+def test_sentence_cache_does_not_change_output():
+    k_on = TaggerKernel(build_weights(), sent_cache=True)
+    k_off = TaggerKernel(build_weights(), sent_cache=False)
+    sents = [SENT, ["int", "x", "=", "1"], SENT, ["APT28"], SENT]
+    tags_on, sc_on = k_on.tag(sents)
+    tags_off, sc_off = k_off.tag(sents)
+    assert tags_on == tags_off
+    assert np.allclose(sc_on, sc_off)
