@@ -88,13 +88,21 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
     append); linking/canonicalize/materialize are global functions of the
     full mentions checkpoint and are recomputed with overwrite semantics
     — see lineage.py module docstring for why the split lands there."""
+    import os
+
+    from .tagging import MENTION_SCHEMA
+
     cfg = cfg or PipelineConfig()
     if out_dir is not None:
         new_mentions = extract_mentions(spark, corpus, cfg, out_dir=out_dir)
         lineage.write_checkpoint(
             spark, new_mentions, out_dir, table="mentions", stage="tag", mode="append"
         )
-        mentions = spark.read.parquet(f"{out_dir}/mentions").drop("bucket")
+        mentions_path = f"{out_dir}/mentions"
+        if os.path.exists(mentions_path):
+            mentions = spark.read.parquet(mentions_path).drop("bucket")
+        else:  # empty corpus: partitioned write of zero rows creates no dir
+            mentions = spark.createDataFrame([], MENTION_SCHEMA)
     else:
         mentions = extract_mentions(spark, corpus, cfg).cache()
     entities = link_entities(mentions, cfg).cache()

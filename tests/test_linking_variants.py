@@ -75,3 +75,15 @@ def test_salted_repartition_spreads_hot_repo(spark):
         for r in unsalted.withColumn("pid", F.spark_partition_id()).groupBy("pid").count().collect()
     ]
     assert max(u_sizes) > max(counts), (u_sizes, counts)
+
+
+def test_exact_pairs_normalized_equality(spark, alias_surfaces):
+    """Standalone exact-normalization pair generator (the edge-based form
+    of what canonicalize folds into node ids)."""
+    from ner4cti_spark.linking.minhash_lsh import exact_pairs
+
+    rows = exact_pairs(alias_surfaces).collect()
+    pairs = {tuple(sorted((r["surface_a"], r["surface_b"]))) for r in rows}
+    assert ("APT 28", "APT28") in pairs
+    assert ("Cobalt Strike", "CobaltStrike") in {tuple(sorted(p)) for p in pairs}
+    assert all(r["jaccard"] == 1.0 for r in rows)
