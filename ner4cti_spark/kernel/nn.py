@@ -54,14 +54,17 @@ def char_cnn(cids: np.ndarray, emb: np.ndarray, conv_w: np.ndarray, conv_b: np.n
 
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
-    return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+    # clip-free: exp overflow → inf → result 0.0, which is correct
+    with np.errstate(over="ignore"):
+        return 1.0 / (1.0 + np.exp(-x))
 
 
 def lstm_layer(x: np.ndarray, wx: np.ndarray, wh: np.ndarray, b: np.ndarray,
                reverse: bool = False) -> np.ndarray:
     """One directional LSTM over (B,T,D) → (B,T,H). h0/c0 = 0 (pinned —
     the reference's random init at model.py:217-220 is a documented
-    deviation-for-determinism). Gate order: i,f,g,o."""
+    deviation-for-determinism). Gate order: i,f,o,g — the three sigmoid
+    gates contiguous so one fused sigmoid covers them."""
     B, T, D = x.shape
     H = wh.shape[0]
     h = np.zeros((B, H), dtype=np.float32)
@@ -73,9 +76,9 @@ def lstm_layer(x: np.ndarray, wx: np.ndarray, wh: np.ndarray, b: np.ndarray,
     xw = (x.reshape(B * T, D) @ wx).reshape(B, T, 4 * H) + b
     for t in steps:
         g = xw[:, t, :] + h @ wh
-        i, f, gg, o = np.split(g, 4, axis=1)
-        i, f, o = _sigmoid(i), _sigmoid(f), _sigmoid(o)
-        c = f * c + i * np.tanh(gg)
+        gates = _sigmoid(g[:, : 3 * H])
+        i, f, o = gates[:, :H], gates[:, H : 2 * H], gates[:, 2 * H :]
+        c = f * c + i * np.tanh(g[:, 3 * H :])
         h = o * np.tanh(c)
         out[:, t, :] = h
     return out
