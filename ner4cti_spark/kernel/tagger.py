@@ -30,6 +30,14 @@ LEX_O = 2.0
 LEX_OTHER = -2.0
 
 
+def _stem(t: str) -> str:
+    """Tiny deterministic suffix stripper for lexicon fallback matching."""
+    for suf in ("ing", "ed", "es", "s"):
+        if t.endswith(suf) and len(t) > len(suf) + 2:
+            return t[: -len(suf)]
+    return t
+
+
 class TaggerKernel:
     def __init__(
         self,
@@ -40,6 +48,7 @@ class TaggerKernel:
         use_patterns: bool = True,
         label_space: LabelSpace = CTI,
         sent_cache: bool = True,
+        stem_fallback: bool = False,
     ) -> None:
         """phrases: token-tuple (lowercased) → (etype, canonical). Default
         is the built-in CTI gazetteer; pass a corpus-induced lexicon
@@ -55,6 +64,16 @@ class TaggerKernel:
         self.phrases = phrases if phrases is not None else gazetteer.phrase_index()
         self.max_phrase = max((len(k) for k in self.phrases), default=1)
         self.use_patterns = use_patterns
+        # morphological fallback: stemmed phrase table ('loads and
+        # executing' matches a lexicon entry 'load and execute'); exact
+        # entries win on collision (exact checked first, and the stem
+        # table keeps the first-inserted mapping deterministically)
+        self.stem_fallback = stem_fallback
+        self.stem_phrases: dict[tuple[str, ...], tuple[str, str]] = {}
+        if stem_fallback:
+            for k, v in sorted(self.phrases.items()):
+                sk = tuple(_stem(w) for w in k)
+                self.stem_phrases.setdefault(sk, v)
         self.ls = label_space
         assert weights["emit_b"].shape[0] == label_space.n, (
             "weights were built for a different label space — pass the same "
@@ -86,6 +105,8 @@ class TaggerKernel:
                 for span in range(min(self.max_phrase, n - i), 0, -1):
                     key = tuple(t.lower() for t in sent[i : i + span])
                     hit = self.phrases.get(key)
+                    if hit is None and self.stem_fallback:
+                        hit = self.stem_phrases.get(tuple(_stem(w) for w in key))
                     if hit is not None:
                         etype = hit[0]
                         em[b, i, self.ls.label2id[f"B-{etype}"]] = LEX_HIT
