@@ -48,7 +48,9 @@ def lineage_rows(df: DataFrame, stage: str) -> DataFrame:
         F.count(F.lit(1)).alias("row_count"),
         F.format_string(
             "%015x",
-            F.expr("bit_xor(cast(conv(substring(sha256, 1, 15), 16, 10) as bigint))"),
+            # DISTINCT: many rows share a source sha256 (one per sentence/
+            # triple); xor over duplicates would cancel even-count hashes
+            F.expr("bit_xor(DISTINCT cast(conv(substring(sha256, 1, 15), 16, 10) as bigint))"),
         ).alias("content_sha256_xor"),
         F.current_timestamp().alias("completed_at"),
     ).select(

@@ -61,3 +61,26 @@ def test_resume_is_idempotent(spark, tmp_path):
     lin3 = spark.read.parquet(f"{out_dir}/_lineage").filter("stage='tag'")
     have = {r["partition_key"] for r in lin3.select("partition_key").collect()}
     assert set(victims) <= have
+
+
+def test_lineage_digest_matches_python_recomputation(spark, tmp_path):
+    """content_sha256_xor = xor of DISTINCT leading-60-bit sha256 values
+    per bucket — verified against a driver-side recomputation."""
+    from pyspark.sql import functions as F
+
+    from ner4cti_spark.corpus import generate_corpus
+    from ner4cti_spark.lineage import lineage_rows, with_bucket
+    from ner4cti_spark.operators.sentencize import sentencize, with_sha256
+
+    sents = with_bucket(sentencize(with_sha256(generate_corpus(spark, n_docs=30))))
+    lin = {r["partition_key"]: r for r in lineage_rows(sents, "tag").collect()}
+    rows = sents.select("bucket", "sha256").collect()
+    by_bucket: dict[int, set] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], set()).add(r["sha256"])
+    for b, hashes in by_bucket.items():
+        x = 0
+        for h in hashes:
+            x ^= int(h[:15], 16)
+        assert lin[str(b)]["content_sha256_xor"] == f"{x:015x}", b
+        assert lin[str(b)]["row_count"] == sum(1 for r in rows if r["bucket"] == b)
