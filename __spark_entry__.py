@@ -28,6 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_pipeline(spark, corpus)["triples"]
 
 
+def _cti_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics on the KG: co-occurrence PageRank (DataFrame
+    power iteration — non-SQL-expressible, rows-only check)."""
+    from ner4cti_spark.linking.pagerank import entity_pagerank
+
+    triples = _cti_query("triples")(spark, sf_dir)
+    return entity_pagerank(triples, n_iter=8)
+
+
 def _cti_query(which: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ner4cti_spark.corpus import generate_corpus
@@ -105,6 +114,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cti_mentions": (_cti_query("mentions"), None),
     "cti_entities": (_cti_query("entities"), None),
     "cti_triples": (_cti_query("triples"), None),
+    "cti_entity_pagerank": (_cti_pagerank, None),
 }
 
 
