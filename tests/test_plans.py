@@ -109,3 +109,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Hot-key skew (north_rule: 'skew handled explicitly'): AQE splits
+    the skewed partition at runtime — the executed plan marks the join
+    skew=true instead of one straggler task dragging the stage."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        # key 0 holds ~90% of 300k fact rows
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(2_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = fact.join(dim, "k")
+        # execute THIS DataFrame (count() builds a different QueryExecution
+        # whose finalization doesn't touch j's plan)
+        assert len(j.collect()) > 0
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:1500]
+        assert "AQEShuffleRead" in final_plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
