@@ -90,6 +90,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "value_percentiles": (Q.q_value_percentiles, Q.SQL_VALUE_PERCENTILES),
     # grouped-map applyInPandas vs window oracle
     "per_source_zscore": (D.q_per_source_zscore, D.SQL_PER_SOURCE_ZSCORE),
+    # ingest-gate data-quality audit (single-pass conditional aggregation)
+    "data_quality_audit": (D.q_data_quality_audit, D.SQL_DATA_QUALITY_AUDIT),
     # training-data pipeline: deduplication
     "dedup_exact": (D.q_dedup_exact, D.SQL_DEDUP_EXACT),
     "dedup_minhash": (D.q_dedup_minhash, D.SQL_DEDUP_MINHASH),

@@ -718,3 +718,53 @@ SQL_PER_SOURCE_ZSCORE = """
     FROM documents
     WINDOW w AS (PARTITION BY source)
 """
+
+
+# -------------------------------------------------- data-quality audit
+
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style audit over the corpus-feed table: per-rule
+    violation counts in ONE pass (conditional aggregation — no per-rule
+    scans). The pattern a 100 TB ingest gate runs before training-data
+    jobs consume a drop."""
+    docs = load(spark, sf_dir, "documents")
+    rules = {
+        "null_text": F.col("text").isNull(),
+        "empty_text": F.col("text").isNotNull() & (F.length("text") == 0),
+        "bad_lang": ~F.col("lang").isin("en", "de", "fr", "es", "zh"),
+        "n_chars_mismatch": F.col("n_chars") != F.length("text"),
+        "negative_id": F.col("doc_id") < 0,
+        "dup_doc_id": F.lit(False),  # checked separately below
+    }
+    audit = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(cond.cast("long")).alias(name) for name, cond in rules.items() if name != "dup_doc_id"],
+    )
+    dups = load(spark, sf_dir, "documents").groupBy("doc_id").count().filter("count > 1").count()
+    out = audit.withColumn("dup_doc_id", F.lit(dups).cast("long"))
+    # long format: (rule, violations)
+    names = ["null_text", "empty_text", "bad_lang", "n_chars_mismatch", "negative_id", "dup_doc_id"]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return out.selectExpr("n_rows", f"stack({len(names)}, {stack}) as (rule, violations)")
+
+
+SQL_DATA_QUALITY_AUDIT = """
+    WITH audit AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+             sum(CASE WHEN text IS NOT NULL AND length(text) = 0 THEN 1 ELSE 0 END) AS empty_text,
+             sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS bad_lang,
+             sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_chars_mismatch,
+             sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS negative_id
+      FROM documents
+    ),
+    dups AS (
+      SELECT count(*) AS dup_doc_id FROM (
+        SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)
+    )
+    SELECT n_rows, t.rule, t.violations
+    FROM audit, dups,
+    LATERAL (VALUES ('null_text', null_text), ('empty_text', empty_text),
+                    ('bad_lang', bad_lang), ('n_chars_mismatch', n_chars_mismatch),
+                    ('negative_id', negative_id), ('dup_doc_id', dup_doc_id)) t(rule, violations)
+"""
