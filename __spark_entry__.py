@@ -76,6 +76,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "similar_words_topk": (Q.q_similar_words_topk, Q.SQL_SIMILAR_WORDS_TOPK),
     # streaming window semantics on the batch table
     "windowed_event_counts": (Q.q_windowed_event_counts, Q.SQL_WINDOWED_EVENT_COUNTS),
+    "time_rollup": (Q.q_time_rollup, Q.SQL_TIME_ROLLUP),
     # classic OLAP shapes
     "pricing_summary": (Q.q_pricing_summary, Q.SQL_PRICING_SUMMARY),
     "top_revenue_orders": (Q.q_top_revenue_orders, Q.SQL_TOP_REVENUE_ORDERS),

@@ -960,3 +960,43 @@ SQL_VALUE_PERCENTILES = """
            floor(max(value) * 10000.0 + 0.5) / 10000.0 AS vmax
     FROM events GROUP BY event_type
 """
+
+
+# ------------------------- hypertable-style multi-resolution time rollup
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate shape: one pass produces hourly AND daily
+    rollups via GROUPING SETS over truncated timestamps (the hypertable
+    rollup analog; at scale this materializes into bucketed tables that
+    downstream dashboards read instead of raw events)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_b"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_b"),
+        "event_type", "value",
+    )
+    ev.createOrReplaceTempView("_ev_rollup")
+    return spark.sql("""
+        SELECT coalesce(hour_b, 'ALL') AS hour_bucket,
+               coalesce(day_b, 'ALL') AS day_bucket,
+               event_type,
+               count(*) AS n,
+               floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+        FROM _ev_rollup
+        GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type)), event_type
+    """)
+
+
+SQL_TIME_ROLLUP = """
+    WITH ev AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_b,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_b,
+             event_type, value
+      FROM events
+    )
+    SELECT coalesce(hour_b, 'ALL') AS hour_bucket,
+           coalesce(day_b, 'ALL') AS day_bucket,
+           event_type, count(*) AS n,
+           floor(sum(value) * 1e4 + 0.5) / 1e4 AS sum_value
+    FROM ev
+    GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
+"""
