@@ -16,7 +16,8 @@ def doc_uri() -> "F.Column":
 
 
 def link_mentions(mentions: DataFrame, entities: DataFrame,
-                  broadcast_threshold: int = 5_000_000) -> DataFrame:
+                  broadcast_threshold: int = 5_000_000,
+                  alias_count: int | None = None) -> DataFrame:
     """Attach canonical entity to each mention via the alias table.
 
     Size-adaptive join strategy: the alias table is vocabulary-sized for
@@ -28,7 +29,10 @@ def link_mentions(mentions: DataFrame, entities: DataFrame,
     alias_tbl = entities.select(
         "etype", F.col("alias").alias("surface"), "canonical", "entity_id"
     )
-    n = alias_tbl.limit(broadcast_threshold + 1).count()
+    # entities has exactly one row per distinct surface, so callers that
+    # already counted the surface vocabulary can pass it and skip a job
+    n = alias_count if alias_count is not None else alias_tbl.limit(
+        broadcast_threshold + 1).count()
     if n <= broadcast_threshold:
         alias_tbl = F.broadcast(alias_tbl)
     return mentions.join(alias_tbl, ["etype", "surface"], "left").withColumn(

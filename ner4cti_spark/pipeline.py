@@ -59,7 +59,8 @@ def extract_mentions(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig
     return mentions
 
 
-def link_entities(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def link_entities(mentions: DataFrame, cfg: PipelineConfig,
+                  stats: dict | None = None) -> DataFrame:
     """Edges = exact-normalized equality (all etypes) ∪ MinHash-LSH fuzzy
     pairs (named etypes only — indicators/CVEs are identities).
 
@@ -71,7 +72,9 @@ def link_entities(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
     surfaces = (
         mentions.groupBy("etype", "surface").agg(F.count(F.lit(1)).alias("freq")).persist()
     )
-    surfaces.count()  # materialize the one corpus-scale aggregation
+    n_surfaces = surfaces.count()  # materialize the one corpus-scale aggregation
+    if stats is not None:
+        stats["n_surfaces"] = n_surfaces
     # exact-normalized equality is folded into canonicalize's node ids
     # (node = hash of normalized surface) — no edge generation needed;
     # only fuzzy LSH pairs become explicit edges
@@ -105,8 +108,9 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             mentions = spark.createDataFrame([], MENTION_SCHEMA)
     else:
         mentions = extract_mentions(spark, corpus, cfg).cache()
-    entities = link_entities(mentions, cfg).cache()
-    linked = graph.link_mentions(mentions, entities)
+    stats: dict = {}
+    entities = link_entities(mentions, cfg, stats=stats).cache()
+    linked = graph.link_mentions(mentions, entities, alias_count=stats.get("n_surfaces"))
     triples = graph.build_triples(linked, entities)
     if out_dir is not None:
         lineage.write_checkpoint(
