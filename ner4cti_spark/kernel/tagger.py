@@ -284,6 +284,17 @@ def casing_class(tok: str) -> int:
     return 4
 
 
+def lookup_canonical(phrases: dict[tuple[str, ...], tuple[str, str]],
+                     span_tokens: list[str], etype: str) -> str | None:
+    """Canonical-name hint for a decoded span: the lexicon's canonical
+    form when the span is an exact (lowercased) phrase entry of the same
+    etype. Knowledge-based linking prior — 'Sofacy' hints 'APT28'."""
+    hit = phrases.get(tuple(t.lower() for t in span_tokens))
+    if hit is not None and hit[0] == etype:
+        return hit[1]
+    return None
+
+
 def extract_spans(tokens: list[str], tags: list[str]) -> list[tuple[int, int, str, str]]:
     """BIO run grouping (W8): (begin, end_exclusive, surface, etype)."""
     spans: list[tuple[int, int, str, str]] = []

@@ -69,17 +69,46 @@ def link_entities(mentions: DataFrame, cfg: PipelineConfig,
     cache (orders of magnitude smaller than the corpus)."""
     from pyspark.sql import functions as F
 
-    surfaces = (
-        mentions.groupBy("etype", "surface").agg(F.count(F.lit(1)).alias("freq")).persist()
-    )
-    n_surfaces = surfaces.count()  # materialize the one corpus-scale aggregation
+    has_hints = "canonical_hint" in mentions.columns
+    hint_col = F.col("canonical_hint") if has_hints else F.lit(None).cast("string")
+    agg = mentions.groupBy("etype", "surface").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.max(hint_col).alias("hint"),  # hints are phrase-deterministic
+    ).persist()
+    n_surfaces = agg.count()  # materialize the one corpus-scale aggregation
     if stats is not None:
         stats["n_surfaces"] = n_surfaces
-    # exact-normalized equality is folded into canonicalize's node ids
-    # (node = hash of normalized surface) — no edge generation needed;
-    # only fuzzy LSH pairs become explicit edges
+    # node set = mention surfaces ∪ hint targets (a hint may name a
+    # canonical form that never appears verbatim in the corpus — it then
+    # acts purely as a bridge node with freq 0, so canonical selection
+    # still prefers an actually-observed surface)
+    hint_nodes = (
+        agg.filter(F.col("hint").isNotNull())
+        .select("etype", F.col("hint").alias("surface"), F.lit(0).alias("freq"))
+        .distinct()
+    )
+    surfaces = (
+        agg.select("etype", "surface", "freq")
+        .unionByName(hint_nodes)
+        .groupBy("etype", "surface")
+        .agg(F.max("freq").alias("freq"))
+    )
+    # edges: knowledge prior (surface ↔ its gazetteer/lexicon canonical,
+    # e.g. 'Sofacy' ↔ 'APT28') ∪ MinHash-LSH fuzzy pairs; exact-normalized
+    # equality is folded into canonicalize's node ids
+    hint_pairs = (
+        agg.filter(F.col("hint").isNotNull() & (F.col("hint") != F.col("surface")))
+        .select(
+            "etype",
+            F.least("surface", "hint").alias("surface_a"),
+            F.greatest("surface", "hint").alias("surface_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .distinct()
+    )
     fuzzy = candidate_pairs_sql(surfaces, sim_threshold=cfg.link_threshold)
-    return canonicalize(surfaces, fuzzy)
+    pairs = hint_pairs.unionByName(fuzzy).dropDuplicates(["etype", "surface_a", "surface_b"])
+    return canonicalize(surfaces, pairs)
 
 
 def run_pipeline(spark: SparkSession, corpus: DataFrame,

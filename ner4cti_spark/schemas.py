@@ -47,6 +47,7 @@ MENTIONS = T.StructType(
         T.StructField("surface", T.StringType(), False),
         T.StructField("etype", T.StringType(), False),
         T.StructField("score", T.FloatType(), False),
+        T.StructField("canonical_hint", T.StringType(), True),
     ]
 )
 

@@ -18,13 +18,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .kernel.tagger import TaggerKernel, extract_spans
+from .kernel.tagger import TaggerKernel, extract_spans, lookup_canonical
 
 _KERNEL_CACHE: dict[int, TaggerKernel] = {}
 
 MENTION_SCHEMA = (
     "repo string, path string, commit string, sha256 string, sent_id long, "
-    "begin int, end int, surface string, etype string, score float"
+    "begin int, end int, surface string, etype string, score float, "
+    "canonical_hint string"
 )
 
 TAGGED_SCHEMA = (
@@ -125,12 +126,15 @@ def tag_mentions(sentences: DataFrame, weights_bc, neural_scale: float = 0.1,
             tags, scores = kernel.tag(sents)
             rows: dict[str, list] = {c: [] for c in (
                 "repo", "path", "commit", "sha256", "sent_id",
-                "begin", "end", "surface", "etype", "score")}
+                "begin", "end", "surface", "etype", "score", "canonical_hint")}
             for i, (toks, tg) in enumerate(zip(sents, tags)):
                 spans = extract_spans(toks, tg)
                 if not spans:
                     continue
                 for b, e, surface, etype in spans:
+                    rows["canonical_hint"].append(
+                        lookup_canonical(kernel.phrases, toks[b:e], etype)
+                    )
                     rows["repo"].append(pdf["repo"].iat[i])
                     rows["path"].append(pdf["path"].iat[i])
                     rows["commit"].append(pdf["commit"].iat[i])

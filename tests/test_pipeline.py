@@ -72,6 +72,11 @@ def test_linking_merges_known_aliases(result):
         ("APT28", "APT 28"),
         ("Cozy Bear", "CozyBear"),
         ("spear phishing", "spearphishing"),
+        # knowledge-prior links: lexically dissimilar aliases merged via
+        # the gazetteer canonical hint carried on mentions
+        ("Sofacy", "APT28"),
+        ("Fancy Bear", "APT28"),
+        ("Lazarus", "HIDDEN COBRA"),
     ]
     for a, b in pairs:
         ids = (
