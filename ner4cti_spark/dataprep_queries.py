@@ -396,8 +396,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_STATS = """
     SELECT source,
-           sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS total_ws_tokens,
-           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_bpe_tokens,
+           CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
            round(avg(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), 4)
              AS avg_tokens_per_doc
     FROM documents GROUP BY source
@@ -584,10 +584,19 @@ def q_word2vec_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → deterministic features via mapInPandas
-    (codec step stubbed — operators/multimodal.py)."""
+    (codec step stubbed — operators/multimodal.py). The contract query
+    serializes the feature array to a sortable scalar (the driver's row
+    canonicalization cannot sort list cells); internal callers use
+    extract_features directly and keep the array<float> column."""
     from .operators.multimodal import extract_features, synthesize_media
 
-    return extract_features(synthesize_media(spark, n=120))
+    feats = extract_features(synthesize_media(spark, n=120))
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_number(x, 4))
+        ).alias("features_csv"),
+    )
 
 
 # ----------------------- DNRTI reference-corpus evaluation (rows-only)
@@ -751,11 +760,11 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DATA_QUALITY_AUDIT = """
     WITH audit AS (
       SELECT count(*) AS n_rows,
-             sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-             sum(CASE WHEN text IS NOT NULL AND length(text) = 0 THEN 1 ELSE 0 END) AS empty_text,
-             sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS bad_lang,
-             sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_chars_mismatch,
-             sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS negative_id
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+             CAST(sum(CASE WHEN text IS NOT NULL AND length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+             CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+             CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch,
+             CAST(sum(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_id
       FROM documents
     ),
     dups AS (

@@ -114,7 +114,7 @@ def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SPLIT_COUNTS = """
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM documents GROUP BY source
 """
 
@@ -228,9 +228,9 @@ SQL_TOKEN_LOOKUP_FALLBACK = f"""
     lvocab AS (SELECT lower(word) AS lword, min(id) AS lid FROM vocab GROUP BY 1)
     SELECT t.doc_id,
            count(*) AS n_tokens,
-           sum(CASE WHEN v1.id IS NOT NULL THEN 1 ELSE 0 END) AS n_exact,
-           sum(CASE WHEN v1.id IS NULL AND v2.lid IS NOT NULL THEN 1 ELSE 0 END) AS n_lower_fallback,
-           sum(CASE WHEN v1.id IS NULL AND v2.lid IS NULL THEN 1 ELSE 0 END) AS n_unk
+           CAST(sum(CASE WHEN v1.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN v1.id IS NULL AND v2.lid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lower_fallback,
+           CAST(sum(CASE WHEN v1.id IS NULL AND v2.lid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
     FROM toks t
     LEFT JOIN vocab v1 ON t.word = v1.word
     LEFT JOIN lvocab v2 ON lower(t.word) = v2.lword
@@ -887,7 +887,7 @@ def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DETERMINISTIC_SPLIT = """
     SELECT CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'valid' ELSE 'test' END AS split,
-           count(*) AS n_docs, sum(doc_id) AS docid_checksum
+           count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS docid_checksum
     FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 10 AS h FROM documents)
     GROUP BY 1
 """
@@ -929,7 +929,7 @@ SQL_ASOF_LAST_VIEW = """
       FROM events
     )
     SELECT user_id, count(*) AS n_purchases,
-           sum(CASE WHEN last_view_id IS NOT NULL THEN 1 ELSE 0 END) AS with_prior_view,
+           CAST(sum(CASE WHEN last_view_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_prior_view,
            max(last_view_id) AS max_last_view_id
     FROM marked WHERE event_type = 'purchase'
     GROUP BY user_id

@@ -7,10 +7,10 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -20,18 +20,28 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
-    return str(v)
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the driver's canonicalization: columns sorted by name,
+    rows sorted by all columns, index dropped. Dtypes are preserved —
+    the driver's value hash is dtype-sensitive (DuckDB HUGEINT sums vs
+    Spark int64 hash differently), so the compare below must be too."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return sorted(out)
+def typed_mismatch(s: pd.DataFrame, d: pd.DataFrame) -> str | None:
+    """Dtype-kind + exact-value comparison (driver-hash analog)."""
+    for c in s.columns:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        if sk != dk:
+            return f"col {c}: dtype kind spark={s[c].dtype} duckdb={d[c].dtype}"
+        if not s[c].equals(d[c].astype(s[c].dtype, copy=False)):
+            bad = s[c][~(s[c].eq(d[c]) | (s[c].isna() & d[c].isna()))]
+            i = bad.index[0] if len(bad) else 0
+            return f"col {c}: value diff at row {i}: spark={s[c].iloc[i]!r} duckdb={d[c].iloc[i]!r}"
+    return None
 
 
 def main() -> int:
@@ -55,36 +65,43 @@ def main() -> int:
         sql = oracles.get(name)
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
         if sql is None:
-            print(f"ok(rows-only) {name}: {len(srows)} rows")
+            try:
+                canon(spdf)  # rows-only still must survive driver canonicalization
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: rows-only canonicalization error (driver would crash): {e}")
+                failures += 1
+                continue
+            print(f"ok(rows-only) {name}: {len(spdf)} rows")
             continue
         try:
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            print(f"FAIL {name}: columns spark={sorted(spdf.columns)} duckdb={sorted(dpdf.columns)}")
             failures += 1
             continue
-        sn = norm_rows(scols, srows)
-        dn = norm_rows(dcols, drows)
-        if len(sn) != len(dn):
-            print(f"FAIL {name}: rowcount spark={len(sn)} duckdb={len(dn)}")
+        if len(spdf) != len(dpdf):
+            print(f"FAIL {name}: rowcount spark={len(spdf)} duckdb={len(dpdf)}")
             failures += 1
             continue
-        if sn != dn:
-            diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-            print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+        try:
+            sn, dn = canon(spdf), canon(dpdf)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: canonicalization error (driver would crash): {e}")
+            failures += 1
+            continue
+        bad = typed_mismatch(sn, dn)
+        if bad:
+            print(f"FAIL {name}: {bad}")
             failures += 1
             continue
         print(f"OK   {name}: {len(sn)} rows")
