@@ -97,6 +97,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact": (D.q_dedup_exact, D.SQL_DEDUP_EXACT),
     "dedup_minhash": (D.q_dedup_minhash, D.SQL_DEDUP_MINHASH),
     "dedup_simhash": (D.q_dedup_simhash, D.SQL_DEDUP_SIMHASH),
+    "simhash_neardup": (D.q_simhash_neardup, D.SQL_SIMHASH_NEARDUP),
     "ngram_jaccard": (D.q_ngram_jaccard, D.SQL_NGRAM_JACCARD),
     "doc_fingerprint": (D.q_doc_fingerprint, D.SQL_DOC_FINGERPRINT),
     # training-data pipeline: text analysis
@@ -113,6 +114,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "word2vec_vectors": (D.q_word2vec_vectors, None),
     "media_features": (D.q_media_features, None),
     "dnrti_eval": (D.q_dnrti_eval, None),
+    "malwaredb_eval": (D.q_malwaredb_eval, None),
     # CTI pipeline (model kernels — non-SQL-expressible, rows-only checks)
     "cti_mentions": (_cti_query("mentions"), None),
     "cti_entities": (_cti_query("entities"), None),

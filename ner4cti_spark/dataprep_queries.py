@@ -33,18 +33,45 @@ _WORD_SHINGLES_SQL = """
 """
 
 
-def _word_shingles(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
-    """(doc_id, sh): distinct word n-gram shingles (n=5) per document."""
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """(doc_id, shs array<string>): distinct word n-gram shingles (n=5)
+    per document, as ONE array column — the single-corpus-scan shape.
+    Dedup queries persist this and derive both the minhash signatures
+    (via explode) and the exact-Jaccard rescore (via array_intersect on
+    the carried arrays) from the same cached scan."""
     docs = load(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
     return docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(idx, lambda i: F.array_join(F.slice(ws, i + F.lit(1), F.lit(n)), " "))
-            )
-        ).alias("sh"),
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i + F.lit(1), F.lit(n)), " "))
+        ).alias("shs"),
+    )
+
+
+def _word_shingles(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """(doc_id, sh): exploded distinct word n-gram shingles."""
+    return _doc_shingle_arrays(spark, sf_dir, n).select(
+        "doc_id", F.explode("shs").alias("sh")
+    )
+
+
+def _jaccard_rescore(cand: DataFrame, sh_arr: DataFrame) -> DataFrame:
+    """Exact shingle Jaccard for candidate pairs from carried arrays —
+    no shingle-level shuffle: two joins on doc_id against the cached
+    (doc_id, shs) table, then array_intersect per pair."""
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                inter / (F.size("shs_a") + F.size("shs_b") - inter), 6
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -73,20 +100,25 @@ _N_HASHES = 8
 _BAND_SIZE = 2  # 4 bands × 2 rows
 
 
-def _doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _word_shingles(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("sh")))).alias(f"mh{i}")
-        for i in range(_N_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
-
-
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash banding: docs sharing ≥1 of 4 bands (2 minhashes each) →
     candidate pairs, re-scored with exact shingle Jaccard. The pair space
-    never materializes — only band-bucket collisions do."""
-    mh = _doc_minhash(spark, sf_dir)
+    never materializes — only band-bucket collisions do.
+
+    ONE corpus scan: the (doc_id, shs) arrays are cached; minhashes come
+    from exploding the cache (explode + groupBy-min, NOT
+    array_min(transform(..md5..)) — that miscompiles under Spark 4.1
+    codegen, see linking/minhash_lsh.py), and the exact-Jaccard rescore
+    joins the carried arrays with array_intersect — no shingle-level
+    inverted-index shuffle."""
+    sh_arr = _doc_shingle_arrays(spark, sf_dir).persist()
+    sh = sh_arr.select("doc_id", F.explode("shs").alias("sh"))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
     n_bands = _N_HASHES // _BAND_SIZE
     bands = F.array(
         *[
@@ -107,29 +139,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _word_shingles(spark, sf_dir)
-    na = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.sh") == F.col("sb.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .fillna(0, ["n_inter"])
-        .join(na.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(na.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
-        )
-    )
+    return _jaccard_rescore(cand, sh_arr)
 
 
 def _minhash_sql() -> str:
@@ -228,46 +238,113 @@ def _simhash_sql() -> str:
 SQL_DEDUP_SIMHASH = _simhash_sql()
 
 
+# -------------------------------------- SimHash Hamming-banded near-dup
+
+_SIMHASH_BANDS = 4  # 4 bands × 4 bits: Hamming ≤ 3 ⇒ ≥1 band identical
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash as an actual near-dup DETECTOR: band the 16-bit signature
+    into 4×4-bit keys, equi-join per band (pigeonhole: any pair at
+    Hamming ≤ 3 shares at least one intact band), verify with exact
+    bit_count(xor) ≤ 3. Candidate space is the band-bucket collision set
+    — never O(n²) — and at corpus scale each of the 4 band joins is an
+    ordinary shuffle on a 4-bit-×-band key."""
+    sim = q_dedup_simhash(spark, sf_dir)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", 4 * b).bitwiseAND(F.lit(15)).alias("bv"),
+        )
+        for b in range(_SIMHASH_BANDS)
+    ])
+    bands = sim.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("p")
+    ).select("doc_id", "simhash", F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("a.simhash").alias("sa"),
+            F.col("b.doc_id").alias("doc_b"), F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+SQL_SIMHASH_NEARDUP = f"""
+    WITH sim AS ({_simhash_sql()}),
+    bands AS (
+      SELECT doc_id, simhash, bb.b AS band, (simhash // (1 << (4 * bb.b))) % 16 AS bv
+      FROM sim, UNNEST(generate_series(0, {_SIMHASH_BANDS - 1})) AS bb(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, b.doc_id AS doc_b, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 # ------------------------------------------------- n-gram Jaccard (inverted index)
 
+_NGRAM_DF_MAX = 100  # document-frequency cut: shingles in more docs are
+#                      boilerplate — one hot 5-gram otherwise yields
+#                      O(df²) candidate pairs (the classic skew killer)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard near-dup pairs via inverted-index join on word
-    5-gram shingles (no LSH approximation): pairs sharing ≥1 shingle,
-    kept at jaccard ≥ 0.3."""
-    sh = _word_shingles(spark, sf_dir)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    """Exact Jaccard near-dup pairs via inverted-index candidate join on
+    word 5-gram shingles, kept at jaccard ≥ 0.3.
+
+    Scale guards: (1) candidate generation only joins shingles with
+    document frequency ≤ {_NGRAM_DF_MAX} — a pair linked ONLY by
+    boilerplate shingles is by construction below any meaningful Jaccard
+    at corpus scale, and the cut bounds the inverted-index join at
+    O(df_max²) per shingle; (2) the Jaccard itself is re-scored exactly
+    on the carried shingle arrays (array_intersect), so the cut affects
+    candidate RECALL only, never a reported score."""
+    sh_arr = _doc_shingle_arrays(spark, sf_dir).persist()
+    sh = sh_arr.select("doc_id", F.explode("shs").alias("sh"))
+    rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _NGRAM_DF_MAX
     )
-    return (
-        pairs.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
-        )
-        .filter(F.col("jaccard") >= 0.3)
-        .select("doc_a", "doc_b", "jaccard")
+    sh_rare = sh.join(rare.select("sh"), "sh")
+    cand = (
+        sh_rare.alias("a")
+        .join(sh_rare.alias("b"),
+              (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    return _jaccard_rescore(cand, sh_arr).filter(F.col("jaccard") >= 0.3)
 
 
 SQL_NGRAM_JACCARD = f"""
     WITH sh AS ({_WORD_SHINGLES_SQL}),
-    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    arr AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id),
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_NGRAM_DF_MAX}),
+    sh_rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh_rare a JOIN sh_rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             round(len(list_intersect(x.shs, y.shs)) * 1.0
+                   / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 6) AS jaccard
+      FROM cand JOIN arr x ON x.doc_id = cand.doc_a JOIN arr y ON y.doc_id = cand.doc_b
     )
-    SELECT doc_a, doc_b,
-           round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
-    FROM pairs p
-    JOIN counts ca ON ca.doc_id = p.doc_a
-    JOIN counts cb ON cb.doc_id = p.doc_b
-    WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.3
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3
 """
 
 
@@ -455,52 +532,110 @@ SQL_EMBEDDING_TOPK = """
 """
 
 
-def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH: hyperplanes = embeddings of vec_id 0-3;
-    bucket = 4-bit sign pattern of the dot products. The scale path for
-    ANN: candidate search only within a bucket."""
+# Multi-table sign-random-projection LSH: T tables × B bits. One table of
+# B bits keeps near neighbors together with prob cos_sim^B — too lossy —
+# so T independent tables are OR-ed: candidate iff SOME table buckets the
+# pair together. At corpus scale the within-bucket candidate space is
+# O(n²/2^B) per table; B=16 makes collisions meaningful, T=4 recovers
+# recall. Hyperplane components are md5-derived Rademacher ±1 — the same
+# deterministic construction is computed by hashlib (Spark side, numpy
+# matmul inside mapInPandas) and by md5() (DuckDB oracle).
+_ANN_TABLES = 4
+_ANN_BITS = 16
+
+_ANN_PLANE_CACHE: dict[int, "object"] = {}
+
+
+def _ann_planes(dim: int):
+    """(T·B, dim) float64 ±1 matrix; pure function of (t, b, k)."""
+    import hashlib
+
+    import numpy as np
+
+    R = _ANN_PLANE_CACHE.get(dim)
+    if R is None:
+        R = np.empty((_ANN_TABLES * _ANN_BITS, dim), dtype=np.float64)
+        for t in range(_ANN_TABLES):
+            for b in range(_ANN_BITS):
+                for k in range(dim):
+                    h = hashlib.md5(f"p:{t}:{b}:{k}".encode()).hexdigest()
+                    R[t * _ANN_BITS + b, k] = 1.0 if int(h[0], 16) < 8 else -1.0
+        _ANN_PLANE_CACHE[dim] = R
+    return R
+
+
+def _embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, tbl, bucket): one 16-bit sign bucket per vector per table.
+    The projections run as one numpy matmul per Arrow batch (vectorized
+    mapInPandas — the Python crossing is amortized over the batch)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    planes = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("plane_id"), F.col("e").alias("p")
-    )
-    dot = F.aggregate(
-        F.zip_with("p", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    bits = (
-        F.broadcast(planes)
-        .crossJoin(emb)
-        .select("vec_id", "plane_id", F.when(dot >= 0, "1").otherwise("0").alias("bit"))
-    )
-    buckets = (
-        bits.groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("plane_id", "bit"))),
-                    lambda s: s["bit"],
-                ),
-            ).alias("bucket")
-        )
-    )
-    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack(pdf["e"].to_numpy())              # (n, dim)
+            S = E @ _ann_planes(E.shape[1]).T              # (n, T*B)
+            bits = S >= 0.0
+            rows = {"vec_id": [], "tbl": [], "bucket": []}
+            for t in range(_ANN_TABLES):
+                block = bits[:, t * _ANN_BITS : (t + 1) * _ANN_BITS]
+                rows["vec_id"].extend(pdf["vec_id"])
+                rows["tbl"].extend([t] * len(pdf))
+                rows["bucket"].extend(
+                    "".join("1" if x else "0" for x in row) for row in block
+                )
+            yield pd.DataFrame(rows)
+
+    return emb.mapInPandas(run, "vec_id long, tbl int, bucket string")
 
 
-SQL_EMBEDDING_LSH_BUCKETS = """
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    planes AS (SELECT vec_id AS plane_id, e AS p FROM emb WHERE vec_id < 4),
-    bits AS (
-      SELECT emb.vec_id, planes.plane_id,
-             CASE WHEN list_dot_product(planes.p, emb.e) >= 0 THEN '1' ELSE '0' END AS bit
-      FROM planes CROSS JOIN emb
-    ),
-    buckets AS (
-      SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
-      FROM bits GROUP BY vec_id
+def _ann_buckets_sql() -> str:
+    return f"""
+      SELECT vec_id, t AS tbl,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+      FROM (
+        SELECT ex.vec_id, g.t, g.b, sum(ex.v * g.r) AS s
+        FROM (
+          SELECT vec_id, u.k, e[u.k + 1] AS v
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+               LATERAL UNNEST(generate_series(0, len(e) - 1)) AS u(k)
+        ) ex
+        JOIN (
+          SELECT tt.t, bb.b, kk.k,
+                 CASE WHEN substring(md5('p:' || tt.t || ':' || bb.b || ':' || kk.k), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS r
+          FROM UNNEST(generate_series(0, {_ANN_TABLES - 1})) AS tt(t),
+               UNNEST(generate_series(0, {_ANN_BITS - 1})) AS bb(b),
+               UNNEST(generate_series(0, (SELECT len(embedding::DOUBLE[]) - 1
+                                          FROM embeddings LIMIT 1))) AS kk(k)
+        ) g ON ex.k = g.k
+        GROUP BY ex.vec_id, g.t, g.b
+      ) GROUP BY vec_id, t
+    """
+
+
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy histogram of the multi-table sign-LSH index —
+    the operational view of ANN index balance (hot buckets = candidate
+    blowup; see BENCH notes on the distribution at sf0.1)."""
+    return (
+        _embedding_buckets(spark, sf_dir)
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
-    SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
+
+
+SQL_EMBEDDING_LSH_BUCKETS = f"""
+    WITH buckets AS ({_ann_buckets_sql()})
+    SELECT tbl, bucket, count(*) AS n_vecs FROM buckets GROUP BY tbl, bucket
 """
 
 
@@ -601,93 +736,103 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------- DNRTI reference-corpus evaluation (rows-only)
 
-def q_dnrti_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon induced from the DNRTI train split → tag test split →
-    reference eval metrics (token accuracy, weighted F1, span P/R/F1)."""
-    import os
+_EVAL_SCHEMA = ("accuracy double, n_tokens long, weighted_f1 double, "
+                "precision double, recall double, f1 double")
 
-    from .kernel.weights import build_weights
+
+def _corpus_eval(spark: SparkSession, corpus: str, map_to_cti: bool) -> DataFrame:
+    """Tag a reference corpus's test split with the TRAINED perceptron-CRF
+    (kernel/perceptron.py; fitted on train+valid, cached npz artifact) and
+    report the reference's eval metrics (model_evaluation.py:50-112
+    semantics): token accuracy, weighted F1, span-exact P/R/F1."""
     from .operators import conll
+    from .training import CORPORA, corpus_available, trained_weights
+
+    if not corpus_available(corpus):
+        return spark.createDataFrame([], _EVAL_SCHEMA)
     from .tagging import tag_token_frames
 
-    schema = ("accuracy double, n_tokens long, weighted_f1 double, "
-              "precision double, recall double, f1 double")
-    base = "/root/reference/DNRTI_Dataset"
-    if not os.path.exists(f"{base}/test.txt"):
-        return spark.createDataFrame([], schema)
-    train = conll.map_dnrti_tags(conll.read_conll(spark, f"{base}/train.txt"))
-    test = conll.map_dnrti_tags(conll.read_conll(spark, f"{base}/test.txt")).cache()
-    lex = conll.induce_lexicon(train)
+    weights, lex, ls = trained_weights(spark, corpus)
+    test = conll.read_conll(spark, CORPORA[corpus]["path"] + "/test.txt")
     sc = spark.sparkContext
     pred = tag_token_frames(
         test.select("doc_id", "sent_id", "tokens"),
-        sc.broadcast(build_weights()), sc.broadcast(lex),
-    ).cache()
-    m = conll.evaluate_tags(pred, test)
-    prf = conll.span_prf(conll.extract_span_rows(pred), conll.extract_span_rows(test))
+        sc.broadcast(weights), sc.broadcast(lex), label_space=ls,
+    )
+    gold = test
+    if map_to_cti:
+        pred = conll.map_dnrti_tags(pred)
+        gold = conll.map_dnrti_tags(gold)
+    pred = pred.cache()
+    gold = gold.cache()
+    m = conll.evaluate_tags(pred, gold)
+    prf = conll.span_prf(conll.extract_span_rows(pred), conll.extract_span_rows(gold))
     return m.crossJoin(prf.select("precision", "recall", "f1"))
+
+
+def q_dnrti_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DNRTI test-split eval of the trained CRF (full 13-type tagset at
+    train/decode time, predictions+gold mapped onto the CTI classes)."""
+    return _corpus_eval(spark, "dnrti", map_to_cti=True)
+
+
+def q_malwaredb_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MalwareDB (the reference's active corpus, arguments.py:39) test
+    eval of the trained CRF over Action/Entity/Modifier."""
+    return _corpus_eval(spark, "malwaredb", map_to_cti=False)
 
 
 # -------------------------- embedding-cosine near-duplicate detection
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: sign-projection LSH bucketing (planes =
-    first 4 vectors) then exact double-precision cosine within buckets,
-    threshold 0.45. The 100 TB path: candidate generation is the bucket
-    equi-join — the O(n²) pair space never materializes."""
+    """Embedding near-dup pairs via the multi-table sign-LSH index:
+    candidates = pairs sharing a bucket in ANY of the T tables (distinct
+    across tables), re-scored with exact double-precision cosine,
+    threshold 0.45. The 100 TB path: candidate generation is T bucket
+    equi-joins — the O(n²) pair space never materializes, and the T·B
+    index bounds per-bucket candidate count at O(n²/2^B) per table."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    planes = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("plane_id"), F.col("e").alias("p")
+    buckets = _embedding_buckets(spark, sf_dir)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"),
+              (F.col("x.tbl") == F.col("y.tbl"))
+              & (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
     )
-    dot_pe = F.aggregate(F.zip_with("p", "e", lambda a, b: a * b), F.lit(0.0),
-                         lambda acc, x: acc + x)
-    bits = (
-        F.broadcast(planes).crossJoin(emb)
-        .select("vec_id", "plane_id", F.when(dot_pe >= 0, "1").otherwise("0").alias("bit"))
-    )
-    bucketed = bits.groupBy("vec_id").agg(
-        F.concat_ws("", F.transform(
-            F.sort_array(F.collect_list(F.struct("plane_id", "bit"))), lambda s: s["bit"]
-        )).alias("bucket")
-    ).join(emb, "vec_id")
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     dot_ab = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y), F.lit(0.0),
-        lambda acc, x: acc + x,
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))  # noqa: E731
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        cand.join(a, "vec_a").join(b, "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            (dot_ab / (norm(F.col("a.e")) * norm(F.col("b.e")))).alias("sim"),
+            "vec_a", "vec_b",
+            (dot_ab / (norm(F.col("ea")) * norm(F.col("eb")))).alias("sim"),
         )
         .filter(F.col("sim") >= 0.45)
         .select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
     )
 
 
-SQL_EMBEDDING_NEARDUP = """
+SQL_EMBEDDING_NEARDUP = f"""
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    planes AS (SELECT vec_id AS plane_id, e AS p FROM emb WHERE vec_id < 4),
-    bits AS (
-      SELECT emb.vec_id, planes.plane_id,
-             CASE WHEN list_dot_product(planes.p, emb.e) >= 0 THEN '1' ELSE '0' END AS bit
-      FROM planes CROSS JOIN emb
-    ),
-    bucketed AS (
-      SELECT b.vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket, any_value(e.e) AS e
-      FROM bits b JOIN emb e ON b.vec_id = e.vec_id GROUP BY b.vec_id
+    buckets AS ({_ann_buckets_sql()}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM buckets x JOIN buckets y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT vec_a, vec_b,
            round(list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
-    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM cand JOIN emb a ON a.vec_id = cand.vec_a JOIN emb b ON b.vec_id = cand.vec_b
     WHERE list_dot_product(a.e, b.e)
           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
 """

@@ -1,0 +1,419 @@
+"""Trained linear-chain CRF tagger — averaged structured perceptron.
+
+This is the engine's TRAINED emission model (SURVEY M10/M14 analog). The
+reference trains torch BiLSTM/BERT+CRF (main.py:96-191, loss in
+CRF_classes.py:14-110); torch and the checkpoints are absent from this
+environment, so the engine learns the same decision structure — per-token
+emission scores + label-transition scores decoded by Viterbi — with a
+numpy averaged structured perceptron (Collins 2002) over hashed sparse
+features. The CRF DP is shared with the rest of the kernel
+(crf.viterbi_decode, W5).
+
+Features per token (fixed-width K templates, crc32-hashed into
+`buckets`): word identity ±2 window, bigrams, prefixes/suffixes, word
+shape, casing class (F1), heuristic UPOS (F4, kernel/pos.py), gazetteer
+longest-match tag (the lexicon branch as FEATURES, so the learner weighs
+lexicon vs context evidence), and regex indicator classes.
+
+Scale path: `train_crf` is driver-local (training corpora are
+vocabulary-sized); `train_crf_distributed` is iterative parameter mixing
+(McDonald, Hall & Mann, NAACL 2010) — each partition runs local
+perceptron epochs from the broadcast global weights, the driver averages
+per-partition sparse deltas weighted by sentence counts. Communication
+per epoch is O(touched weights), not O(corpus).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+from . import gazetteer, pos
+from .crf import viterbi_decode
+from .labels import SPECIALS, LabelSpace
+
+N_BUCKETS = 1 << 19
+
+# fixed template count (see _sent_features) — every position emits
+# exactly K hashed features, so emissions are one fancy-index + sum
+N_TEMPLATES = 26
+
+_NEG = -1e4
+
+
+def _shape(tok: str) -> str:
+    """Word shape with runs compressed: 'CVE-2017' → 'Xd' style."""
+    out: list[str] = []
+    for c in tok:
+        k = "X" if c.isupper() else "x" if c.islower() else "d" if c.isdigit() else "."
+        if not out or out[-1] != k:
+            out.append(k)
+    return "".join(out)
+
+
+def _casing(tok: str) -> int:
+    from .tagger import casing_class  # local import: tagger imports us lazily
+
+    return casing_class(tok)
+
+
+def lexicon_bio(sent: list[str], phrases: dict, max_phrase: int) -> list[str]:
+    """Longest-match gazetteer pass → per-token BIO tag strings (the
+    same matching discipline as TaggerKernel.lexicon_emissions, emitted
+    as feature values instead of log-potentials)."""
+    n = len(sent)
+    tags = ["O"] * n
+    i = 0
+    while i < n:
+        matched = 0
+        for span in range(min(max_phrase, n - i), 0, -1):
+            hit = phrases.get(tuple(t.lower() for t in sent[i : i + span]))
+            if hit is not None:
+                tags[i] = f"B-{hit[0]}"
+                for j in range(i + 1, i + span):
+                    tags[j] = f"I-{hit[0]}"
+                matched = span
+                break
+        i += matched if matched else 1
+    return tags
+
+
+def _sent_features(tokens: list[str], phrases: dict, max_phrase: int,
+                   use_patterns: bool, buckets: int,
+                   clusters: dict | None = None) -> np.ndarray:
+    """(T, K) int32 hashed feature ids. Pure function of the sentence +
+    lexicon (+ optional word-cluster map) — identical on driver and
+    executors.
+
+    `clusters` maps lowercased word → (coarse, fine) k-means cluster ids
+    over corpus-trained Word2Vec vectors (training.word_clusters) — the
+    semi-supervised generalization signal (Brown-cluster style): unseen
+    inflections share a cluster with seen ones, so entity evidence
+    transfers across an open vocabulary."""
+    T = len(tokens)
+    lows = ["<s>", "<s>"] + [t.lower() for t in tokens] + ["</s>", "</s>"]
+    upos_t = ["<s>"] + [pos.upos(t) for t in tokens] + ["</s>"]
+    case_t = [_casing(t) for t in tokens]
+    lex = lexicon_bio(tokens, phrases, max_phrase) if phrases else ["O"] * T
+    pat = [
+        (gazetteer.classify_token(t) or "-") if use_patterns else "-"
+        for t in tokens
+    ]
+    if clusters:
+        cl = [clusters.get(lw, ("-", "-")) for lw in lows[2:-2]]
+        c_coarse = ["<s>"] + ["%s" % c[0] for c in cl] + ["</s>"]
+        c_fine = ["%s" % c[1] for c in cl]
+    else:
+        c_coarse = ["-"] * (T + 2)
+        c_fine = ["-"] * T
+    out = np.empty((T, N_TEMPLATES), dtype=np.int64)
+    for i in range(T):
+        lw = lows[i + 2]
+        fs = (
+            "b",
+            "w0=" + lw,
+            "w-1=" + lows[i + 1],
+            "w+1=" + lows[i + 3],
+            "w-2=" + lows[i],
+            "w+2=" + lows[i + 4],
+            "bg-=" + lows[i + 1] + "_" + lw,
+            "bg+=" + lw + "_" + lows[i + 3],
+            "p2=" + lw[:2],
+            "p3=" + lw[:3],
+            "s2=" + lw[-2:],
+            "s3=" + lw[-3:],
+            "s4=" + lw[-4:],
+            "sh=" + _shape(tokens[i]),
+            "cs=%d" % case_t[i],
+            "cs2=%d_%d" % (case_t[i - 1] if i else 7, case_t[i]),
+            "pos=" + upos_t[i + 1],
+            "pt=" + upos_t[i] + "_" + upos_t[i + 1] + "_" + upos_t[i + 2],
+            "lex=" + lex[i],
+            "lexc=" + lex[i] + "_%d" % case_t[i],
+            "pat=" + pat[i],
+            "wor=" + tokens[i],
+            "c0=" + c_coarse[i + 1],
+            "c-1=" + c_coarse[i],
+            "c+1=" + c_coarse[i + 2],
+            "C0=" + c_fine[i],
+        )
+        for k, f in enumerate(fs):
+            out[i, k] = zlib.crc32(f.encode("utf-8"))
+    return (out % buckets).astype(np.int32)
+
+
+def repair_bio(tags: list[str]) -> list[str]:
+    """I-X without a preceding B-X/I-X becomes B-X (standard BIO repair,
+    so gold paths are reachable under the structural transition mask)."""
+    out = list(tags)
+    prev = "O"
+    for i, t in enumerate(out):
+        if t.startswith("I-") and prev not in (f"B-{t[2:]}", f"I-{t[2:]}"):
+            out[i] = "B-" + t[2:]
+        prev = out[i]
+    return out
+
+
+def _decode_masks(ls: LabelSpace) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(structural transition mask, per-label emission mask, first-token
+    mask): specials never decodable; I-* cannot start a sentence."""
+    mask = np.asarray(ls.bio_transition_mask(), dtype=np.float32)
+    em = np.zeros(ls.n, dtype=np.float32)
+    for s in SPECIALS:
+        em[ls.label2id[s]] = _NEG
+    first = np.zeros(ls.n, dtype=np.float32)
+    for t, i in ls.label2id.items():
+        if t.startswith("I-"):
+            first[i] = _NEG
+    return mask, em, first
+
+
+def decode_sents(sents: list[list[str]], arts: dict, ls: LabelSpace,
+                 phrases: dict, use_patterns: bool,
+                 clusters: dict | None = None) -> list[list[str]]:
+    """Decode with trained weights (driver-side helper; the distributed
+    path lives in TaggerKernel._tag_chunk)."""
+    W, TR = arts["sp_w"], arts["sp_trans"]
+    buckets = W.shape[0]
+    mask, em_mask, first_mask = _decode_masks(ls)
+    max_phrase = max((len(k) for k in phrases), default=1)
+    out = []
+    for sent in sents:
+        if not sent:
+            out.append([])
+            continue
+        feats = _sent_features(sent, phrases, max_phrase, use_patterns, buckets, clusters)
+        e = W[feats].sum(axis=1) + em_mask
+        e[0] += first_mask
+        path, _ = viterbi_decode(e[None], TR + mask, np.array([len(sent)]))
+        out.append([ls.id2label[int(i)] for i in path[0][: len(sent)]])
+    return out
+
+
+def _prep(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
+          phrases: dict, use_patterns: bool, buckets: int,
+          clusters: dict | None = None
+          ) -> list[tuple[np.ndarray, np.ndarray]]:
+    max_phrase = max((len(k) for k in phrases), default=1)
+    data = []
+    for tokens, tags in sents:
+        if not tokens:
+            continue
+        gold = np.array(
+            [ls.label2id.get(t, ls.o_id) for t in repair_bio(list(tags))],
+            dtype=np.int32,
+        )
+        feats = _sent_features(list(tokens), phrases, max_phrase, use_patterns, buckets, clusters)
+        data.append((feats, gold))
+    return data
+
+
+def _train_epochs(data, ls: LabelSpace, buckets: int, epochs: int, seed: int,
+                  W: np.ndarray | None = None, TR: np.ndarray | None = None,
+                  average: bool = True, cost: float = 1.0,
+                  miss_cost: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
+    """Core perceptron loop. With average=True returns the Collins
+    running average (stable final model); with average=False returns the
+    raw last weights (the parameter-mixing inner step).
+
+    Training decodes are COST-AUGMENTED (structured hinge / max-margin
+    perceptron): each wrong label adds `cost` to its training-time score,
+    and predicting O where gold is an entity adds `miss_cost` — the
+    asymmetric term counters the O-class imbalance that otherwise starves
+    recall on open-vocabulary entity sets (MalwareDB)."""
+    L = ls.n
+    mask, em_mask, first_mask = _decode_masks(ls)
+    if W is None:
+        W = np.zeros((buckets, L), dtype=np.float32)
+    else:
+        W = W.astype(np.float32).copy()
+    if TR is None:
+        TR = np.zeros((L, L), dtype=np.float32)
+    else:
+        TR = TR.astype(np.float32).copy()
+    Wf = W.reshape(-1)
+    Wa = np.zeros(buckets * L, dtype=np.float64) if average else None
+    Wt = np.zeros(buckets * L, dtype=np.int64) if average else None
+    TRa = np.zeros((L, L), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    t = 0
+    tr_t = 0
+    K = N_TEMPLATES
+    for _ep in range(epochs):
+        for si in rng.permutation(len(data)):
+            feats, gold = data[si]
+            t += 1
+            e = W[feats].sum(axis=1) + em_mask
+            e[0] += first_mask
+            if cost:
+                aug = np.full_like(e, cost)
+                aug[gold != ls.o_id, ls.o_id] = miss_cost
+                aug[np.arange(len(gold)), gold] = 0.0
+                e = e + aug
+            path, _ = viterbi_decode(e[None], TR + mask, np.array([len(gold)]))
+            pred = path[0][: len(gold)]
+            if np.array_equal(pred, gold):
+                continue
+            mis = np.nonzero(pred != gold)[0]
+            f = feats[mis].reshape(-1).astype(np.int64)
+            flat = np.concatenate([f * L + np.repeat(gold[mis], K),
+                                   f * L + np.repeat(pred[mis], K)])
+            delta = np.concatenate([np.ones(len(f), dtype=np.float32),
+                                    -np.ones(len(f), dtype=np.float32)])
+            if average:
+                up = np.unique(flat)
+                Wa[up] += (t - Wt[up]) * Wf[up].astype(np.float64)
+                Wt[up] = t
+                TRa += (t - tr_t) * TR
+                tr_t = t
+            np.add.at(Wf, flat, delta)
+            if len(gold) > 1:
+                np.add.at(TR, (gold[:-1], gold[1:]), 1.0)
+                np.add.at(TR, (pred[:-1], pred[1:]), -1.0)
+    if not average or t == 0:
+        return W, TR
+    Wa += (t - Wt) * Wf.astype(np.float64)
+    TRa += (t - tr_t) * TR
+    return (Wa / t).astype(np.float32).reshape(buckets, L), (TRa / t).astype(np.float32)
+
+
+def train_crf(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
+              phrases: dict, *, epochs: int = 8, seed: int = 13,
+              buckets: int = N_BUCKETS, use_patterns: bool = True,
+              cost: float = 1.0, miss_cost: float = 2.0,
+              clusters: dict | None = None
+              ) -> dict[str, np.ndarray]:
+    """Driver-local averaged perceptron fit → trained-weight arrays
+    ("sp_*" keys merge into the kernel weight bundle)."""
+    data = _prep(sents, ls, phrases, use_patterns, buckets, clusters)
+    W, TR = _train_epochs(data, ls, buckets, epochs, seed,
+                          cost=cost, miss_cost=miss_cost)
+    return {
+        "sp_w": W,
+        "sp_trans": TR,
+        "_sp_meta": np.array([buckets, int(use_patterns)], dtype=np.int64),
+    }
+
+
+def train_crf_distributed(df, ls: LabelSpace, phrases: dict, *,
+                          epochs: int = 5, sub_epochs: int = 1,
+                          buckets: int = N_BUCKETS, use_patterns: bool = True,
+                          n_parts: int = 8, seed: int = 13,
+                          clusters: dict | None = None
+                          ) -> dict[str, np.ndarray]:
+    """Iterative parameter mixing over a (tokens, tags) DataFrame.
+
+    Per outer epoch: broadcast (W, TR); every partition runs `sub_epochs`
+    of raw (non-averaged) perceptron from that init and emits its weight
+    DELTA as sparse (idx, val) plus its sentence count; the driver mixes
+    W += Σ n_p/Σn · ΔW_p. The final model is the epoch-average of mixed
+    weights (the averaged variant of McDonald et al. 2010, their §4).
+
+    At 100 TB: per-partition deltas are bounded by touched features (not
+    corpus size), mixing is a treeAggregate-shaped reduction, and no
+    sentence ever moves — only weights do."""
+    sc = df.sparkSession.sparkContext
+    L = ls.n
+    rdd = (
+        df.select("tokens", "tags").rdd
+        .map(lambda r: (list(r["tokens"]), list(r["tags"])))
+        .repartition(n_parts)
+        .cache()
+    )
+    W = np.zeros((buckets, L), dtype=np.float32)
+    TR = np.zeros((L, L), dtype=np.float32)
+    W_avg = np.zeros_like(W, dtype=np.float64)
+    TR_avg = np.zeros_like(TR, dtype=np.float64)
+    phrases_bc = sc.broadcast(phrases)
+    clusters_bc = sc.broadcast(clusters)
+    for ep in range(epochs):
+        w_bc = sc.broadcast(W)
+        tr_bc = sc.broadcast(TR)
+
+        def part_fit(it, _ep=ep):
+            sents = list(it)
+            if not sents:
+                return
+            data = _prep(sents, ls, phrases_bc.value, use_patterns, buckets,
+                         clusters_bc.value)
+            Wl, TRl = _train_epochs(
+                data, ls, buckets, sub_epochs, seed + 1000 * _ep,
+                W=w_bc.value, TR=tr_bc.value, average=False,
+            )
+            dW = (Wl - w_bc.value).reshape(-1)
+            nz = np.nonzero(dW)[0]
+            yield (len(sents), nz.astype(np.int64), dW[nz].astype(np.float32),
+                   (TRl - tr_bc.value).astype(np.float32))
+
+        parts = rdd.mapPartitions(part_fit).collect()
+        w_bc.destroy()
+        tr_bc.destroy()
+        total = sum(p[0] for p in parts) or 1
+        dW_mix = np.zeros(buckets * L, dtype=np.float64)
+        dTR_mix = np.zeros((L, L), dtype=np.float64)
+        for n_p, idx, val, dtr in parts:
+            frac = n_p / total
+            dW_mix[idx] += frac * val
+            dTR_mix += frac * dtr
+        W = (W + dW_mix.reshape(buckets, L)).astype(np.float32)
+        TR = (TR + dTR_mix).astype(np.float32)
+        W_avg += W
+        TR_avg += TR
+    rdd.unpersist()
+    return {
+        "sp_w": (W_avg / max(epochs, 1)).astype(np.float32),
+        "sp_trans": (TR_avg / max(epochs, 1)).astype(np.float32),
+        "_sp_meta": np.array([buckets, int(use_patterns)], dtype=np.int64),
+    }
+
+
+# ------------------------------------------------------------- artifacts
+
+def save_artifact(path: str, arts: dict[str, np.ndarray],
+                  phrases: dict, etypes: list[str]) -> None:
+    """Sparse npz: only nonzero (feature, label) weights are stored, plus
+    the lexicon the features were built against (features at inference
+    must see the identical phrase table)."""
+    W = arts["sp_w"]
+    flat = W.reshape(-1)
+    nz = np.nonzero(flat)[0]
+    keys = sorted(phrases)
+    clusters = arts.get("_sp_clusters") or {}
+    cwords = sorted(clusters)
+    np.savez_compressed(
+        path,
+        idx=nz.astype(np.int64),
+        val=flat[nz].astype(np.float32),
+        shape=np.array(W.shape, dtype=np.int64),
+        sp_trans=arts["sp_trans"],
+        sp_meta=arts["_sp_meta"],
+        lex_keys=np.array([" ".join(k) for k in keys], dtype=object),
+        lex_etype=np.array([phrases[k][0] for k in keys], dtype=object),
+        lex_canon=np.array([phrases[k][1] for k in keys], dtype=object),
+        cl_words=np.array(cwords, dtype=object),
+        cl_coarse=np.array([clusters[w][0] for w in cwords], dtype=np.int32),
+        cl_fine=np.array([clusters[w][1] for w in cwords], dtype=np.int32),
+        etypes=np.array(etypes, dtype=object),
+    )
+
+
+def load_artifact(path: str) -> tuple[dict[str, np.ndarray], dict, list[str]]:
+    z = np.load(path, allow_pickle=True)
+    shape = tuple(z["shape"])
+    W = np.zeros(int(shape[0]) * int(shape[1]), dtype=np.float32)
+    W[z["idx"]] = z["val"]
+    arts = {
+        "sp_w": W.reshape(shape),
+        "sp_trans": z["sp_trans"],
+        "_sp_meta": z["sp_meta"],
+        "_sp_clusters": {
+            str(w): (int(a), int(b))
+            for w, a, b in zip(z["cl_words"], z["cl_coarse"], z["cl_fine"])
+        },
+    }
+    phrases = {
+        tuple(k.split(" ")): (e, c)
+        for k, e, c in zip(z["lex_keys"], z["lex_etype"], z["lex_canon"])
+    }
+    return arts, phrases, [str(e) for e in z["etypes"]]

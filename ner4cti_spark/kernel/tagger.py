@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import gazetteer, nn
+from . import gazetteer, nn, pos
 from .crf import greedy_decode, viterbi_decode
 from .labels import CTI, LabelSpace
 
@@ -150,8 +150,10 @@ class TaggerKernel:
             )[:, 0, :]                                                   # (N,30)
             case_id = np.array([casing_class(t) for t in missing], dtype=np.int64)
             case_v = w["case_emb"][case_id]
-            # POS proxy: casing class as id (no stanza here — SURVEY F4)
-            pos_v = w["pos_emb"][case_id % w["pos_emb"].shape[0]]
+            # F4: heuristic UPOS (kernel/pos.py) — the reference's
+            # stanza-UPOS 10-dim signal (data_utils.py:46-62), stanza-free
+            pos_id = np.array([pos.upos_id(t) for t in missing], dtype=np.int64)
+            pos_v = w["pos_emb"][pos_id % w["pos_emb"].shape[0]]
             feats = np.concatenate([word_v, char_v, pos_v, case_v], axis=-1).astype(np.float32)
             if len(self._feat_cache) > 500_000:
                 self._feat_cache.clear()
@@ -236,6 +238,8 @@ class TaggerKernel:
         T = max(1, int(lengths.max()))
         sents = [s[:MAX_SEQ_LEN] for s in sents]
         mask = np.arange(T)[None, :] < lengths[:, None]
+        if "sp_w" in self.w:
+            return self._tag_chunk_trained(sents, lengths, T)
         em = self.lexicon_emissions(sents, T)
         if self.neural_scale > 0.0:
             neural = self.neural_emissions(sents, T, mask)
@@ -255,6 +259,38 @@ class TaggerKernel:
         ]
         scores = (scores / np.maximum(lengths, 1)).astype(np.float32)
         return tags, scores
+
+    def _tag_chunk_trained(self, sents: list[list[str]], lengths: np.ndarray, T: int
+                           ) -> tuple[list[list[str]], np.ndarray]:
+        """Decode with TRAINED perceptron-CRF weights (kernel/perceptron.py)
+        when the bundle carries "sp_w": hashed sparse features (lexicon
+        longest-match included as features) → batched Viterbi. Replaces
+        the gazetteer-potentials + random-neural fusion for corpora with
+        a fitted model; the Spark plumbing above is identical."""
+        from . import perceptron as P
+
+        W = self.w["sp_w"]
+        buckets, L = W.shape
+        use_patterns = bool(self.w["_sp_meta"][1]) if "_sp_meta" in self.w else self.use_patterns
+        mask_t, em_mask, first_mask = P._decode_masks(self.ls)
+        B = len(sents)
+        em = np.zeros((B, T, L), dtype=np.float32)
+        em += em_mask[None, None, :]
+        for b, sent in enumerate(sents):
+            n = int(lengths[b])
+            if n == 0:
+                continue
+            feats = P._sent_features(sent[:n], self.phrases, self.max_phrase,
+                                     use_patterns, buckets,
+                                     self.w.get("_sp_clusters"))
+            em[b, :n, :] = W[feats].sum(axis=1) + em_mask
+            em[b, 0, :] += first_mask
+        paths, scores = viterbi_decode(em, self.w["sp_trans"] + mask_t, lengths)
+        tags = [
+            [self.ls.id2label[int(paths[b, t])] for t in range(int(lengths[b]))]
+            for b in range(B)
+        ]
+        return tags, (scores / np.maximum(lengths, 1)).astype(np.float32)
 
 
 def casing_class(tok: str) -> int:

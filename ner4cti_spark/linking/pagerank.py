@@ -42,26 +42,33 @@ def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 15,
             .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
-        )
-        # dangling mass: rank held by nodes with no outgoing edges
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        ).persist()
+        # dangling mass = rank held by nodes with no outgoing edges. Ranks
+        # sum to exactly 1 each iteration (n·base + d·(inflow+dangling) =
+        # (1−d) + d·1), so dangling = 1 − Σ inflow — computed INSIDE the
+        # plan as a broadcast 1-row aggregate instead of a per-iteration
+        # driver collect (the old left-anti + collect serialized 15 small
+        # blocking jobs into the pipeline tail).
+        total_in = F.broadcast(
+            contrib.agg(F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("_total_in"))
         )
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(total_in)
             .select(
                 "node",
                 (
                     F.lit(base)
-                    + damping * (F.coalesce(F.col("inflow"), F.lit(0.0)) + dangling / n)
+                    + damping * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + (1.0 - F.col("_total_in")) / n
+                    )
                 ).alias("rank"),
             )
             .repartition(n_partitions, "node")
             .localCheckpoint(eager=True)
         )
+        contrib.unpersist(blocking=False)
     return ranks
 
 

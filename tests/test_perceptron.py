@@ -1,0 +1,154 @@
+"""Trained CRF (averaged structured perceptron) — learnability, artifact
+roundtrip, kernel integration, distributed parameter mixing, POS (F4)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from ner4cti_spark.kernel import perceptron as P
+from ner4cti_spark.kernel import pos
+from ner4cti_spark.kernel.labels import LabelSpace
+
+LS = LabelSpace(["X", "Y"])
+
+# a deterministic toy language: 'alpha NAME does beta' where NAME after
+# 'alpha' is X and NAME after 'gamma' is Y — context decides, not identity
+NAMES = ["n%d" % i for i in range(30)]
+
+
+def _toy_corpus(n: int = 200, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    sents = []
+    for _ in range(n):
+        name = NAMES[int(rng.integers(len(NAMES)))]
+        if rng.random() < 0.5:
+            sents.append((["alpha", name, "does", "beta"], ["O", "B-X", "O", "O"]))
+        else:
+            sents.append((["gamma", name, "does", "beta"], ["O", "B-Y", "O", "O"]))
+    return sents
+
+
+def test_perceptron_learns_contextual_rule():
+    sents = _toy_corpus()
+    arts = P.train_crf(sents, LS, {}, epochs=5, use_patterns=False)
+    # UNSEEN name: context must decide the class
+    pred = P.decode_sents(
+        [["alpha", "zz_unseen", "does", "beta"],
+         ["gamma", "zz_unseen", "does", "beta"]],
+        arts, LS, {}, False)
+    assert pred[0] == ["O", "B-X", "O", "O"]
+    assert pred[1] == ["O", "B-Y", "O", "O"]
+
+
+def test_bio_repair_and_structural_mask():
+    assert P.repair_bio(["I-X", "I-X", "O", "I-Y"]) == ["B-X", "I-X", "O", "B-Y"]
+    sents = _toy_corpus(50)
+    arts = P.train_crf(sents, LS, {}, epochs=3, use_patterns=False)
+    for tags in P.decode_sents([s for s, _ in sents[:20]], arts, LS, {}, False):
+        prev = "O"
+        for t in tags:
+            assert t not in ("[BOS]", "[EOS]", "[X]")
+            if t.startswith("I-"):
+                assert prev in (f"B-{t[2:]}", f"I-{t[2:]}")
+            prev = t
+
+
+def test_artifact_roundtrip(tmp_path):
+    sents = _toy_corpus(80)
+    phrases = {("alpha",): ("X", "alpha")}
+    clusters = {"alpha": (1, 2), "beta": (3, 4)}
+    arts = P.train_crf(sents, LS, phrases, epochs=3, use_patterns=False,
+                       clusters=clusters)
+    arts["_sp_clusters"] = clusters
+    path = os.path.join(tmp_path, "toy.npz")
+    P.save_artifact(path, arts, phrases, LS.etypes)
+    arts2, phrases2, etypes = P.load_artifact(path)
+    assert etypes == LS.etypes
+    assert phrases2 == phrases
+    assert arts2["_sp_clusters"] == clusters
+    np.testing.assert_array_equal(arts["sp_w"], arts2["sp_w"])
+    np.testing.assert_array_equal(arts["sp_trans"], arts2["sp_trans"])
+    toks = [s for s, _ in sents[:10]]
+    assert (P.decode_sents(toks, arts, LS, phrases, False, clusters)
+            == P.decode_sents(toks, arts2, LS, phrases2, False, clusters))
+
+
+def test_kernel_trained_path_matches_decode_sents():
+    from ner4cti_spark.kernel.tagger import TaggerKernel
+    from ner4cti_spark.kernel.weights import build_weights
+
+    sents = _toy_corpus(80)
+    arts = P.train_crf(sents, LS, {}, epochs=3, use_patterns=False)
+    w = build_weights(label_space=LS)
+    w.update(arts)
+    kernel = TaggerKernel(w, phrases={}, use_patterns=False, label_space=LS)
+    toks = [s for s, _ in sents[:25]] + [["alpha", "unseen_tok", "does", "beta"]]
+    got, _ = kernel.tag(toks)
+    want = P.decode_sents(toks, arts, LS, {}, False)
+    assert got == want
+
+
+def test_distributed_parameter_mixing_learns(spark):
+    sents = _toy_corpus(150)
+    df = spark.createDataFrame(
+        [(t, g) for t, g in sents], "tokens array<string>, tags array<string>"
+    )
+    arts = P.train_crf_distributed(df, LS, {}, epochs=3, sub_epochs=2,
+                                   n_parts=4, use_patterns=False)
+    pred = P.decode_sents(
+        [["alpha", "zz_unseen", "does", "beta"],
+         ["gamma", "zz_unseen", "does", "beta"]],
+        arts, LS, {}, False)
+    assert pred[0] == ["O", "B-X", "O", "O"]
+    assert pred[1] == ["O", "B-Y", "O", "O"]
+
+
+def test_upos_differs_from_casing_signal():
+    """F4: the POS feature is a real signal, not the casing proxy —
+    tokens with identical casing class get different UPOS."""
+    from ner4cti_spark.kernel.tagger import casing_class
+
+    pairs = [("running", "malware"), ("quickly", "trojan"), ("the", "exploit")]
+    for a, b in pairs:
+        assert casing_class(a) == casing_class(b)
+        assert pos.upos(a) != pos.upos(b), (a, b, pos.upos(a))
+    assert pos.upos("CVE-2017-0144") == "NUM"  # digit-dominant identifier
+    assert pos.upos("WannaCry2x") == "X"  # mixed alnum identifier
+    assert pos.upos("2017") == "NUM"
+    assert pos.upos("Microsoft") == "PROPN"
+    assert pos.upos(".") == "PUNCT"
+    assert pos.upos_id("[nonexistent-word]") == pos.UPOS2ID["X"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/DNRTI_Dataset/test.txt"),
+    reason="reference corpus not present")
+def test_dnrti_trained_quality_gate(spark):
+    """The trained model replaces the lexicon baseline: span F1 ≥ 0.84
+    on the DNRTI test split (baseline was 0.68)."""
+    from ner4cti_spark.dataprep_queries import q_dnrti_eval
+
+    row = q_dnrti_eval(spark, "").collect()[0]
+    assert row["f1"] >= 0.84, row
+    assert row["precision"] >= 0.88, row
+    assert row["accuracy"] >= 0.95, row
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/MalwareDB/MalwareDB/test.txt"),
+    reason="reference corpus not present")
+def test_malwaredb_trained_quality_gate(spark):
+    """MalwareDB span-exact F1 ≥ 0.30 (lexicon baseline was 0.26; the
+    corpus's open-vocabulary 'attributed sentence' annotations cap
+    feature-CRF systems near this level — the original MalwareTextDB
+    paper's CRF baselines and most SemEval-2018 Task 8 systems land in
+    the 0.2-0.45 band; the reference's BERT branch is what pushes
+    higher, and its checkpoints/torch are absent from this env)."""
+    from ner4cti_spark.dataprep_queries import q_malwaredb_eval
+
+    row = q_malwaredb_eval(spark, "").collect()[0]
+    assert row["f1"] >= 0.30, row
+    assert row["accuracy"] >= 0.82, row
