@@ -48,7 +48,9 @@ def main() -> None:
         "dedup_minhash": D.q_dedup_minhash,
         "ngram_jaccard": D.q_ngram_jaccard,
         "dedup_simhash": D.q_dedup_simhash,
+        "simhash_neardup": D.q_simhash_neardup,
         "embedding_topk": D.q_embedding_topk,
+        "embedding_neardup": D.q_embedding_neardup,
         "quality_score": D.q_quality_score,
         "connected_components": D.q_connected_components,
     }

@@ -240,10 +240,14 @@ def _train_epochs(data, ls: LabelSpace, buckets: int, epochs: int, seed: int,
     t = 0
     tr_t = 0
     K = N_TEMPLATES
+    epoch_errors: list[float] = []
     for _ep in range(epochs):
+        ep_err = 0
+        ep_tok = 0
         for si in rng.permutation(len(data)):
             feats, gold = data[si]
             t += 1
+            ep_tok += len(gold)
             e = W[feats].sum(axis=1) + em_mask
             e[0] += first_mask
             if cost:
@@ -256,6 +260,7 @@ def _train_epochs(data, ls: LabelSpace, buckets: int, epochs: int, seed: int,
             if np.array_equal(pred, gold):
                 continue
             mis = np.nonzero(pred != gold)[0]
+            ep_err += len(mis)
             f = feats[mis].reshape(-1).astype(np.int64)
             flat = np.concatenate([f * L + np.repeat(gold[mis], K),
                                    f * L + np.repeat(pred[mis], K)])
@@ -271,6 +276,11 @@ def _train_epochs(data, ls: LabelSpace, buckets: int, epochs: int, seed: int,
             if len(gold) > 1:
                 np.add.at(TR, (gold[:-1], gold[1:]), 1.0)
                 np.add.at(TR, (pred[:-1], pred[1:]), -1.0)
+        # A5 analog (main.py:96-191 prints running avg loss per epoch):
+        # averaged training loss proxy = hamming errors per token under
+        # the cost-augmented decode — the convergence signal
+        epoch_errors.append(ep_err / max(ep_tok, 1))
+    _train_epochs.last_epoch_errors = np.array(epoch_errors, dtype=np.float64)
     if not average or t == 0:
         return W, TR
     Wa += (t - Wt) * Wf.astype(np.float64)
@@ -293,6 +303,7 @@ def train_crf(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
         "sp_w": W,
         "sp_trans": TR,
         "_sp_meta": np.array([buckets, int(use_patterns)], dtype=np.int64),
+        "_sp_epoch_errors": getattr(_train_epochs, "last_epoch_errors", np.zeros(0)),
     }
 
 

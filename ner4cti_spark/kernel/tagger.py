@@ -86,6 +86,7 @@ class TaggerKernel:
         # no shuffle, identical results by determinism)
         self._feat_cache: dict[str, np.ndarray] = {}
         self._class_cache: dict[str, str | None] = {}
+        self._wp_vocab: dict[str, int] | None = None
         self._sent_cache: dict[tuple[str, ...], tuple[list[str], float]] = {}
         self._sent_cache_on = sent_cache
 
@@ -136,18 +137,32 @@ class TaggerKernel:
 
     def _token_features(self, tokens: list[str]) -> np.ndarray:
         """(N, feat_dim) rows for distinct tokens, cached per executor.
-        Feature fusion M2 inputs: word(hash-emb) ‖ charCNN ‖ pos-proxy ‖
-        case — each a pure function of the token string, so distinct-token
-        compute + gather replaces per-position recompute."""
+        Feature fusion M2 inputs: word(hash-emb) ‖ charCNN ‖ pos ‖ case —
+        each a pure function of the token string, so distinct-token
+        compute + gather replaces per-position recompute.
+
+        Optional branches, switched by weight-bundle keys:
+        - "_wp_pool" (A8): the character branch runs per WORDPIECE and
+          mean-pools pieces back to the token (BertModel.py:81-114).
+        - "_aug_neighbors" (M6): softmax-attention over each word's
+          top-k similar words (corpus-trained Word2Vec neighbors),
+          gate-fused into the word embedding
+          (security_augmentation.py:86-126)."""
         w = self.w
         missing = [t for t in tokens if t not in self._feat_cache]
         if missing:
             wid = nn.stable_hash_ids(np.array(missing, dtype=object), self.word_vocab)
             word_v = w["word_emb"][wid]                                  # (N,50)
-            cids = nn.char_ids([missing], len(missing), self.char_maxlen, self.char_vocab)[0]
-            char_v = nn.char_cnn(
-                cids[:, None, :], w["char_emb"], w["char_conv_w"], w["char_conv_b"], 3
-            )[:, 0, :]                                                   # (N,30)
+            aug = w.get("_aug_neighbors")
+            if aug:
+                word_v = self._soft_augment(missing, word_v, aug)
+            if "_wp_pool" in w:
+                char_v = self._wordpiece_char_vecs(missing)
+            else:
+                cids = nn.char_ids([missing], len(missing), self.char_maxlen, self.char_vocab)[0]
+                char_v = nn.char_cnn(
+                    cids[:, None, :], w["char_emb"], w["char_conv_w"], w["char_conv_b"], 3
+                )[:, 0, :]                                               # (N,30)
             case_id = np.array([casing_class(t) for t in missing], dtype=np.int64)
             case_v = w["case_emb"][case_id]
             # F4: heuristic UPOS (kernel/pos.py) — the reference's
@@ -160,6 +175,57 @@ class TaggerKernel:
             for i, t in enumerate(missing):
                 self._feat_cache[t] = feats[i]
         return np.stack([self._feat_cache[t] for t in tokens])
+
+    def _wordpiece_char_vecs(self, tokens: list[str]) -> np.ndarray:
+        """A8: char-CNN per wordpiece, mean-pooled back to tokens."""
+        from . import wordpiece as wp
+
+        vocab = self._wp_vocab
+        if vocab is None:
+            vocab = self._wp_vocab = wp.default_vocab()
+        pieces: list[str] = []
+        word_ids: list[int] = []
+        for i, t in enumerate(tokens):
+            ps = wp.wordpiece(t.lower(), vocab)
+            pieces.extend(p.lstrip("#") or "#" for p in ps)
+            word_ids.extend([i] * len(ps))
+        cids = nn.char_ids([pieces], len(pieces), self.char_maxlen, self.char_vocab)[0]
+        pv = nn.char_cnn(
+            cids[:, None, :], self.w["char_emb"], self.w["char_conv_w"],
+            self.w["char_conv_b"], 3,
+        )[:, 0, :]
+        return nn.wordpiece_mean_pool(pv, np.array(word_ids, dtype=np.int64), len(tokens))
+
+    def _soft_augment(self, tokens: list[str], word_v: np.ndarray,
+                      aug: dict) -> np.ndarray:
+        """M6: gather each token's top-k similar words (corpus Word2Vec
+        neighbors), embed them through the SAME hashed word table, fuse
+        via softmax-attention + sigmoid gate (nn.soft_augment)."""
+        K = max((len(v[0]) for v in aug.values()), default=0)
+        if K == 0:
+            return word_v
+        N, D = word_v.shape
+        nbr_vecs = np.zeros((N, K, D), dtype=word_v.dtype)
+        nbr_sims = np.zeros((N, K), dtype=np.float32)
+        nbr_mask = np.zeros((N, K), dtype=bool)
+        flat_words: list[str] = []
+        slots: list[tuple[int, int]] = []
+        for i, t in enumerate(tokens):
+            hit = aug.get(t.lower())
+            if not hit:
+                continue
+            for j, (nw, sim) in enumerate(zip(hit[0][:K], hit[1][:K])):
+                flat_words.append(nw)
+                slots.append((i, j))
+                nbr_sims[i, j] = sim
+                nbr_mask[i, j] = True
+        if not flat_words:
+            return word_v
+        ids = nn.stable_hash_ids(np.array(flat_words, dtype=object), self.word_vocab)
+        vecs = self.w["word_emb"][ids]
+        for (i, j), v in zip(slots, vecs):
+            nbr_vecs[i, j] = v
+        return nn.soft_augment(word_v, nbr_vecs, nbr_sims, nbr_mask)
 
     def neural_emissions(self, sents: list[list[str]], T: int, mask: np.ndarray) -> np.ndarray:
         """(B,T,L) contextual branch: M1→M2→M3→M4→linear, batched numpy."""

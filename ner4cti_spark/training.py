@@ -70,17 +70,10 @@ def label_space_for(corpus: str) -> LabelSpace:
     return CTI if cfg["etypes"] is None else LabelSpace(cfg["etypes"])
 
 
-def word_clusters(spark: SparkSession, corpus: str, *, dim: int = 50,
-                  k_coarse: int = 64, k_fine: int = 512,
-                  seed: int = 42) -> dict[str, tuple[int, int]]:
-    """Semi-supervised word-cluster features: Word2Vec on the corpus's
-    unlabeled train+valid text (the reference trains its own word2vec the
-    same way — wod2vec_embedding.py:27-47, shipped at Result/Embedding/
-    word_embedding.npy), then two k-means granularities over the vectors.
-    Cluster ids are Brown-cluster-style CRF features: evidence learned on
-    'loading' transfers to a cluster-sibling like 'dropping' even when the
-    word never appears labeled. Fully seeded → deterministic artifact."""
-    from pyspark.ml.clustering import KMeans
+def _word_vectors(spark: SparkSession, corpus: str, dim: int, seed: int):
+    """Word2Vec over the corpus's unlabeled train+valid text (the
+    reference trains its own word2vec the same way —
+    wod2vec_embedding.py:27-47) → (word, vector) DataFrame."""
     from pyspark.ml.feature import Word2Vec
     from pyspark.sql import functions as F
 
@@ -93,12 +86,50 @@ def word_clusters(spark: SparkSession, corpus: str, *, dim: int = 50,
         if os.path.exists(path):
             df = conll.read_conll(spark, path).select("tokens")
             sents = df if sents is None else sents.unionByName(df)
-    toks = sents.select(
-        F.transform("tokens", lambda t: F.lower(t)).alias("tokens")
-    )
+    toks = sents.select(F.transform("tokens", lambda t: F.lower(t)).alias("tokens"))
     w2v = Word2Vec(vectorSize=dim, minCount=2, seed=seed, numPartitions=1,
                    inputCol="tokens", outputCol="vec")
-    vecs = w2v.fit(toks).getVectors()  # (word, vector)
+    return w2v.fit(toks).getVectors()
+
+
+def soft_aug_neighbors(spark: SparkSession, corpus: str, *, k: int = 5,
+                       min_sim: float = 0.5, dim: int = 50, seed: int = 42
+                       ) -> dict[str, tuple[tuple[str, ...], tuple[float, ...]]]:
+    """M6 soft-augmentation table: each vocab word's top-k most similar
+    words by corpus-Word2Vec cosine (security_augmentation.py:25-56
+    builds the same similar-word sets). Vocabulary-sized (all-pairs
+    cosine on ~10⁴ × 50 is one numpy matmul on the driver; at larger
+    vocabs this becomes the embedding_topk / LSH-bucket path)."""
+    import numpy as np
+
+    rows = _word_vectors(spark, corpus, dim, seed).collect()
+    words = [r["word"] for r in rows]
+    M = np.array([list(r["vector"]) for r in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    S = M @ M.T
+    np.fill_diagonal(S, -1.0)
+    out: dict[str, tuple[tuple[str, ...], tuple[float, ...]]] = {}
+    top = np.argsort(-S, axis=1)[:, :k]
+    for i, w in enumerate(words):
+        nbrs = [(words[j], float(S[i, j])) for j in top[i] if S[i, j] >= min_sim]
+        if nbrs:
+            out[w] = (tuple(n for n, _ in nbrs), tuple(s for _, s in nbrs))
+    return out
+
+
+def word_clusters(spark: SparkSession, corpus: str, *, dim: int = 50,
+                  k_coarse: int = 64, k_fine: int = 512,
+                  seed: int = 42) -> dict[str, tuple[int, int]]:
+    """Semi-supervised word-cluster features: Word2Vec on the corpus's
+    unlabeled train+valid text (the reference trains its own word2vec the
+    same way — wod2vec_embedding.py:27-47, shipped at Result/Embedding/
+    word_embedding.npy), then two k-means granularities over the vectors.
+    Cluster ids are Brown-cluster-style CRF features: evidence learned on
+    'loading' transfers to a cluster-sibling like 'dropping' even when the
+    word never appears labeled. Fully seeded → deterministic artifact."""
+    from pyspark.ml.clustering import KMeans
+
+    vecs = _word_vectors(spark, corpus, dim, seed)  # (word, vector)
     out: dict[str, tuple[int, int]] = {}
     assign = {}
     for k in (k_coarse, k_fine):
@@ -120,7 +151,14 @@ def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
     cfg = CORPORA[corpus]
     ls = label_space_for(corpus)
     train = _read_train(spark, corpus)
-    lex = conll.induce_lexicon(train)
+    # lexicon features come from the TRAIN split only: inducing them from
+    # train+valid makes every training sentence's lexicon feature a
+    # near-oracle, so the learner over-trusts it and test-time recall
+    # drops (measured: MalwareDB span F1 0.300 tv-lexicon vs 0.321
+    # train-only). The model still FITS on train+valid.
+    lex = conll.induce_lexicon(
+        conll.read_conll(spark, os.path.join(cfg["path"], "train.txt"))
+    )
     clusters = word_clusters(spark, corpus)
     n_epochs = epochs if epochs is not None else cfg["epochs"]
     if distributed:

@@ -20,7 +20,7 @@ def test_registry_shape():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "cti_mentions", "cti_entities", "cti_triples", "cti_entity_pagerank",
-        "word2vec_vectors", "media_features", "dnrti_eval",
+        "word2vec_vectors", "media_features", "dnrti_eval", "malwaredb_eval",
     }
 
 

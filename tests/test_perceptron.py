@@ -43,6 +43,16 @@ def test_perceptron_learns_contextual_rule():
     assert pred[1] == ["O", "B-Y", "O", "O"]
 
 
+def test_epoch_errors_converge():
+    """A5 analog: averaged per-epoch training loss is tracked and falls
+    as the separable toy problem is learned."""
+    arts = P.train_crf(_toy_corpus(150), LS, {}, epochs=4, use_patterns=False)
+    errs = arts["_sp_epoch_errors"]
+    assert len(errs) == 4
+    assert errs[-1] < errs[0]
+    assert errs[-1] <= 0.01  # separable → near-zero training loss
+
+
 def test_bio_repair_and_structural_mask():
     assert P.repair_bio(["I-X", "I-X", "O", "I-Y"]) == ["B-X", "I-X", "O", "B-Y"]
     sents = _toy_corpus(50)

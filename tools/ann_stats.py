@@ -1,0 +1,76 @@
+"""Append the multi-table sign-LSH bucket-occupancy distribution at a
+given SF to BENCH/BASELINE.md (north-rule evidence for the ANN path:
+bucket balance decides the within-bucket candidate blowup at scale).
+
+Runs the SAME md5-Rademacher construction as dataprep_queries via DuckDB
+(no Spark session needed). Usage: python tools/ann_stats.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MARKER = "## ANN bucket distribution"
+
+
+def ann_section(sf_dir: str) -> str:
+    from ner4cti_spark.dataprep_queries import (
+        _ANN_BITS,
+        _ANN_TABLES,
+        _ann_buckets_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    stats = con.execute(f"""
+        WITH buckets AS ({_ann_buckets_sql()}),
+        occ AS (SELECT tbl, bucket, count(*) AS n FROM buckets GROUP BY tbl, bucket)
+        SELECT count(*) AS n_buckets,
+               CAST(sum(n) AS BIGINT) AS n_entries,
+               max(n) AS max_occ,
+               round(avg(n), 3) AS avg_occ,
+               CAST(sum(n * (n - 1) / 2) AS BIGINT) AS cand_pairs
+        FROM occ
+    """).fetchone()
+    n_vecs = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    n_buckets, n_entries, max_occ, avg_occ, cand_pairs = stats
+    brute = n_vecs * (n_vecs - 1) // 2
+    return f"""
+{MARKER} ({sf_dir})
+
+{_ANN_TABLES} tables × {_ANN_BITS} bits over {n_vecs} vectors:
+{n_entries} index entries in {n_buckets} occupied buckets,
+max occupancy {max_occ}, mean {avg_occ}. Within-bucket candidate pairs
+across all tables: {cand_pairs} vs brute-force {brute}
+({(100.0 * cand_pairs / max(brute, 1)):.3f}% of the pair space) — the
+index prunes ~everything while planted near-identical pairs (cos≥0.99)
+co-bucket with analytic prob 1-(1-(1-θ/π)^{_ANN_BITS})^{_ANN_TABLES} ≈ 0.93
+(verified in tests/test_ann.py). At corpus scale, B grows with log(n)
+to keep max occupancy bounded and T with the recall target.
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    section = ann_section(sf_dir)
+    existing = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+        if MARKER in existing:
+            existing = existing[: existing.index(MARKER)].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(existing + section)
+    print(section)
+
+
+if __name__ == "__main__":
+    main()
