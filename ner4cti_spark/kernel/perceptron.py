@@ -37,7 +37,7 @@ N_BUCKETS = 1 << 19
 
 # fixed template count (see _sent_features) — every position emits
 # exactly K hashed features, so emissions are one fancy-index + sum
-N_TEMPLATES = 26
+N_TEMPLATES = 28
 
 _NEG = -1e4
 
@@ -107,6 +107,13 @@ def _sent_features(tokens: list[str], phrases: dict, max_phrase: int,
     else:
         c_coarse = ["-"] * (T + 2)
         c_fine = ["-"] * T
+    # sentence-level attribution evidence, identical at every position:
+    # which lexicon etypes the sentence contains and how many lexicon
+    # spans (bucketed). Corpora whose annotations are sentence-conditional
+    # (MalwareTextDB marks only 'attributed' sentences) need the tagger
+    # to see sentence-scope signal, not just the local window.
+    slex = "slex=" + (",".join(sorted({t[2:] for t in lex if t != "O"})) or "-")
+    nlex = "nlex=%d" % min(sum(t.startswith("B-") for t in lex), 5)
     out = np.empty((T, N_TEMPLATES), dtype=np.int64)
     for i in range(T):
         lw = lows[i + 2]
@@ -137,6 +144,8 @@ def _sent_features(tokens: list[str], phrases: dict, max_phrase: int,
             "c-1=" + c_coarse[i],
             "c+1=" + c_coarse[i + 2],
             "C0=" + c_fine[i],
+            slex,
+            nlex,
         )
         for k, f in enumerate(fs):
             out[i, k] = zlib.crc32(f.encode("utf-8"))

@@ -153,8 +153,15 @@ class TaggerKernel:
         if missing:
             wid = nn.stable_hash_ids(np.array(missing, dtype=object), self.word_vocab)
             word_v = w["word_emb"][wid]                                  # (N,50)
+            hard = w.get("_hard_aug_table")
+            if hard:  # M5: precomputed fused table (row overrides; the
+                #       fancy-indexed word_v above is already a copy)
+                for i, t in enumerate(missing):
+                    hv = hard.get(t.lower())
+                    if hv is not None:
+                        word_v[i] = hv
             aug = w.get("_aug_neighbors")
-            if aug:
+            if aug and not hard:
                 word_v = self._soft_augment(missing, word_v, aug)
             if "_wp_pool" in w:
                 char_v = self._wordpiece_char_vecs(missing)
@@ -357,6 +364,38 @@ class TaggerKernel:
             for b in range(B)
         ]
         return tags, (scores / np.maximum(lengths, 1)).astype(np.float32)
+
+
+def build_hard_aug_table(weights: dict[str, np.ndarray],
+                         neighbors: dict[str, tuple[tuple[str, ...], tuple[float, ...]]]
+                         ) -> dict[str, np.ndarray]:
+    """M5 hard augmentation (security_augmentation.py:68-83; gate
+    model.py:417-438): precompute, for every vocabulary word with
+    similar-word neighbors, the gate-fused augmented embedding as a
+    broadcastable table — the reference's 'hard' variant bakes the fusion
+    into a lookup table offline, while 'soft' (M6, nn.soft_augment inside
+    `_soft_augment`) computes the identical fusion at inference. By
+    construction hard(w) ≡ soft(w) for the same neighbor sets (parity
+    tested). Ship the result as weights['_hard_aug_table']."""
+    word_vocab = weights["word_emb"].shape[0]
+    words = sorted(neighbors)
+    if not words:
+        return {}
+    ids = nn.stable_hash_ids(np.array(words, dtype=object), word_vocab)
+    X = weights["word_emb"][ids]
+    K = max(len(neighbors[w][0]) for w in words)
+    D = X.shape[1]
+    nbr_vecs = np.zeros((len(words), K, D), dtype=X.dtype)
+    nbr_sims = np.zeros((len(words), K), dtype=np.float32)
+    nbr_mask = np.zeros((len(words), K), dtype=bool)
+    for i, w in enumerate(words):
+        ws, sims = neighbors[w]
+        nids = nn.stable_hash_ids(np.array(list(ws), dtype=object), word_vocab)
+        nbr_vecs[i, : len(ws)] = weights["word_emb"][nids]
+        nbr_sims[i, : len(ws)] = sims
+        nbr_mask[i, : len(ws)] = True
+    fused = nn.soft_augment(X, nbr_vecs, nbr_sims, nbr_mask)
+    return {w: fused[i] for i, w in enumerate(words)}
 
 
 def casing_class(tok: str) -> int:

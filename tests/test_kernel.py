@@ -271,3 +271,29 @@ def test_soft_augment_math_and_integration():
     k_aug2 = TaggerKernel(w_aug, phrases={})
     np.testing.assert_array_equal(
         e_aug, k_aug2.neural_emissions(sent, 3, np.ones((1, 3), dtype=bool)))
+
+
+def test_hard_aug_table_equals_soft_fusion():
+    """M5 ≡ M6: the precomputed hard-augmentation table equals the
+    on-the-fly soft fusion for vocabulary (lowercased) tokens."""
+    import numpy as np
+
+    from ner4cti_spark.kernel.tagger import TaggerKernel, build_hard_aug_table
+    from ner4cti_spark.kernel.weights import build_weights
+
+    neighbors = {
+        "stuxnet": (("duqu", "flame"), (0.9, 0.8)),
+        "mimikatz": (("pwdump",), (0.7,)),
+    }
+    w_soft = build_weights()
+    w_soft["_aug_neighbors"] = neighbors
+    w_hard = build_weights()
+    w_hard["_hard_aug_table"] = build_hard_aug_table(w_hard, neighbors)
+    toks = ["stuxnet", "mimikatz", "unrelated"]
+    v_soft = TaggerKernel(w_soft, phrases={})._token_features(toks)
+    v_hard = TaggerKernel(w_hard, phrases={})._token_features(toks)
+    np.testing.assert_allclose(v_soft, v_hard, rtol=1e-5)
+    # and it actually changed the augmented rows vs the plain kernel
+    v_plain = TaggerKernel(build_weights(), phrases={})._token_features(toks)
+    assert not np.allclose(v_plain[0], v_hard[0])
+    np.testing.assert_array_equal(v_plain[2], v_hard[2])
