@@ -108,6 +108,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_topk": (D.q_embedding_topk, D.SQL_EMBEDDING_TOPK),
     "embedding_lsh_buckets": (D.q_embedding_lsh_buckets, D.SQL_EMBEDDING_LSH_BUCKETS),
     "embedding_neardup": (D.q_embedding_neardup, D.SQL_EMBEDDING_NEARDUP),
+    "embedding_ivf": (D.q_embedding_ivf, D.SQL_EMBEDDING_IVF),
     # graph: connected components vs recursive-CTE oracle
     "connected_components": (D.q_connected_components, D.SQL_CONNECTED_COMPONENTS),
     # M12 Word2Vec training / multimodal / reference-corpus eval (rows-only)

@@ -838,6 +838,117 @@ SQL_EMBEDDING_NEARDUP = f"""
 """
 
 
+# ------------------------------------------------ IVF similarity search
+
+_IVF_C = 16      # coarse-quantizer cells
+_IVF_NPROBE = 4  # cells probed per query
+_IVF_TOPK = 5
+
+_COS = """(list_dot_product({a}, {b})
+           / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"""
+
+
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer (here the C lowest-vec_id vectors
+    as deterministic cell centers — at scale a seeded pyspark.ml KMeans
+    fit, broadcast; the plan shape is identical) → every vector assigned
+    to its nearest cell (one narrow map over a broadcast centroid table)
+    → each query probes its NPROBE nearest cells and scores exact cosine
+    ONLY against vectors in those cells → top-k. The inverted-file
+    structure bounds per-query work at nprobe/C of the corpus; the
+    posting-list join partitions by cell id."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                          lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        return dot / (na * nb)
+
+    from pyspark.sql import Window as W
+
+    sim_vc = cos(F.col("e"), F.col("c"))
+    w_v = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
+    assign = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", sim_vc.alias("s"))
+        .withColumn("rk", F.row_number().over(w_v))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cent_id")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= _IVF_C) & (F.col("vec_id") < _IVF_C + 4)
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("q"))
+    sim_qc = cos(F.col("q"), F.col("c"))
+    w_q = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cent_id"))
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select("query_id", "cent_id", sim_qc.alias("s"))
+        .withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select("query_id", "cent_id")
+    )
+    cand = (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    sim_qe = cos(F.col("q"), F.col("e"))
+    w_top = W.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+    return (
+        cand.join(queries, "query_id").join(emb, "vec_id")
+        .select("query_id", "vec_id", sim_qe.alias("sim_raw"))
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("query_id", "vec_id", F.round("sim_raw", 4).alias("sim"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_EMBEDDING_IVF = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, e AS c FROM emb WHERE vec_id < {_IVF_C}),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT emb.vec_id, cent.cent_id,
+               row_number() OVER (PARTITION BY emb.vec_id
+                                  ORDER BY {_COS.format(a="emb.e", b="cent.c")} DESC, cent.cent_id) AS rk
+        FROM emb CROSS JOIN cent
+      ) WHERE rk = 1
+    ),
+    queries AS (SELECT vec_id AS query_id, e AS q FROM emb
+                WHERE vec_id >= {_IVF_C} AND vec_id < {_IVF_C + 4}),
+    probes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT q.query_id, cent.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS.format(a="q.q", b="cent.c")} DESC, cent.cent_id) AS rk
+        FROM queries q CROSS JOIN cent
+      ) WHERE rk <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assign a ON a.cent_id = p.cent_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, round(sim_raw, 4) AS sim, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT c.query_id, c.vec_id,
+             {_COS.format(a="q.q", b="e.e")} AS sim_raw,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY {_COS.format(a="q.q", b="e.e")} DESC, c.vec_id) AS rank
+      FROM cand c JOIN queries q ON q.query_id = c.query_id
+      JOIN emb e ON e.vec_id = c.vec_id
+    ) WHERE rank <= {_IVF_TOPK}
+"""
+
+
 # ---------------------- grouped-map applyInPandas (per-group model fit)
 
 def q_per_source_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
