@@ -75,6 +75,17 @@ def _jaccard_rescore(cand: DataFrame, sh_arr: DataFrame) -> DataFrame:
     )
 
 
+def _cosine(a, b):
+    """Exact double-precision cosine of two array<double> columns — the
+    one shared implementation for every similarity query (fold-based dot
+    + norms; single-lambda aggregates, safe under Spark 4.1 codegen)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
 # ------------------------------------------------------------- exact dedup
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,7 +261,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor) ≤ 3. Candidate space is the band-bucket collision set
     — never O(n²) — and at corpus scale each of the 4 band joins is an
     ordinary shuffle on a 4-bit-×-band key."""
-    sim = q_dedup_simhash(spark, sf_dir)
+    # persisted: the signature aggregation (full corpus scan + 16-way
+    # bit sums) feeds BOTH sides of the band self-join below; without the
+    # cache Spark recomputes it per join side. Reclaimed by the
+    # ContextCleaner once the plan is unreferenced.
+    sim = q_dedup_simhash(spark, sf_dir).persist()
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -324,8 +339,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sh_rare.alias("b"),
               (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    # mass-duplication recovery: a cluster of >df_max identical documents
+    # has ONLY hot shingles, so the df-cut alone would miss it entirely.
+    # Identical shingle SETS are caught by an equality join on the sorted
+    # array — the output for such a cluster is quadratic in its size by
+    # definition (every pair qualifies), so no cut can avoid that cost.
+    # Near-identical (not set-equal) above-df clusters remain a documented
+    # recall/cost tradeoff of the cut.
+    fp = sh_arr.select("doc_id", F.array_sort("shs").alias("key"))
+    cand_dup = (
+        fp.alias("a")
+        .join(fp.alias("b"),
+              (F.col("a.key") == F.col("b.key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cand = cand.unionByName(cand_dup).distinct()
     return _jaccard_rescore(cand, sh_arr).filter(F.col("jaccard") >= 0.3)
 
 
@@ -334,9 +363,15 @@ SQL_NGRAM_JACCARD = f"""
     arr AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id),
     rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {_NGRAM_DF_MAX}),
     sh_rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh),
+    fp AS (SELECT doc_id, list_sort(shs) AS key FROM arr),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh_rare a JOIN sh_rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh_rare a JOIN sh_rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT x.doc_id, y.doc_id
+        FROM fp x JOIN fp y ON x.key = y.key AND x.doc_id < y.doc_id
+      )
     ),
     scored AS (
       SELECT doc_a, doc_b,
@@ -806,15 +841,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    dot_ab = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))  # noqa: E731
     return (
         cand.join(a, "vec_a").join(b, "vec_b")
         .select(
             "vec_a", "vec_b",
-            (dot_ab / (norm(F.col("ea")) * norm(F.col("eb")))).alias("sim"),
+            _cosine(F.col("ea"), F.col("eb")).alias("sim"),
         )
         .filter(F.col("sim") >= 0.45)
         .select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
@@ -864,16 +895,9 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
     )
 
-    def cos(a, b):
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
-                          lambda acc, x: acc + x)
-        na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-        nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-        return dot / (na * nb)
-
     from pyspark.sql import Window as W
 
-    sim_vc = cos(F.col("e"), F.col("c"))
+    sim_vc = _cosine(F.col("e"), F.col("c"))
     w_v = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
     assign = (
         emb.join(F.broadcast(cent))
@@ -885,7 +909,7 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(
         (F.col("vec_id") >= _IVF_C) & (F.col("vec_id") < _IVF_C + 4)
     ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("q"))
-    sim_qc = cos(F.col("q"), F.col("c"))
+    sim_qc = _cosine(F.col("q"), F.col("c"))
     w_q = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cent_id"))
     probes = (
         queries.join(F.broadcast(cent))
@@ -899,7 +923,7 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    sim_qe = cos(F.col("q"), F.col("e"))
+    sim_qe = _cosine(F.col("q"), F.col("e"))
     w_top = W.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
     return (
         cand.join(queries, "query_id").join(emb, "vec_id")

@@ -35,6 +35,11 @@ from .labels import SPECIALS, LabelSpace
 
 N_BUCKETS = 1 << 19
 
+# same truncation as the inference kernel (tagger.MAX_SEQ_LEN,
+# reference arguments.py:33) — training, driver decode, and executor
+# decode must featurize identical token windows
+MAX_LEN = 256
+
 # fixed template count (see _sent_features) — every position emits
 # exactly K hashed features, so emissions are one fancy-index + sum
 N_TEMPLATES = 28
@@ -192,11 +197,14 @@ def decode_sents(sents: list[list[str]], arts: dict, ls: LabelSpace,
         if not sent:
             out.append([])
             continue
-        feats = _sent_features(sent, phrases, max_phrase, use_patterns, buckets, clusters)
+        sent_t = sent[:MAX_LEN]
+        feats = _sent_features(sent_t, phrases, max_phrase, use_patterns, buckets, clusters)
         e = W[feats].sum(axis=1) + em_mask
         e[0] += first_mask
-        path, _ = viterbi_decode(e[None], TR + mask, np.array([len(sent)]))
-        out.append([ls.id2label[int(i)] for i in path[0][: len(sent)]])
+        path, _ = viterbi_decode(e[None], TR + mask, np.array([len(sent_t)]))
+        tags = [ls.id2label[int(i)] for i in path[0][: len(sent_t)]]
+        tags += ["O"] * (len(sent) - len(tags))
+        out.append(tags)
     return out
 
 
@@ -209,11 +217,12 @@ def _prep(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
     for tokens, tags in sents:
         if not tokens:
             continue
+        tokens, tags = list(tokens)[:MAX_LEN], list(tags)[:MAX_LEN]
         gold = np.array(
-            [ls.label2id.get(t, ls.o_id) for t in repair_bio(list(tags))],
+            [ls.label2id.get(t, ls.o_id) for t in repair_bio(tags)],
             dtype=np.int32,
         )
-        feats = _sent_features(list(tokens), phrases, max_phrase, use_patterns, buckets, clusters)
+        feats = _sent_features(tokens, phrases, max_phrase, use_patterns, buckets, clusters)
         data.append((feats, gold))
     return data
 
@@ -320,7 +329,8 @@ def train_crf_distributed(df, ls: LabelSpace, phrases: dict, *,
                           epochs: int = 5, sub_epochs: int = 1,
                           buckets: int = N_BUCKETS, use_patterns: bool = True,
                           n_parts: int = 8, seed: int = 13,
-                          clusters: dict | None = None
+                          clusters: dict | None = None,
+                          cost: float = 1.0, miss_cost: float = 2.0
                           ) -> dict[str, np.ndarray]:
     """Iterative parameter mixing over a (tokens, tags) DataFrame.
 
@@ -360,6 +370,7 @@ def train_crf_distributed(df, ls: LabelSpace, phrases: dict, *,
             Wl, TRl = _train_epochs(
                 data, ls, buckets, sub_epochs, seed + 1000 * _ep,
                 W=w_bc.value, TR=tr_bc.value, average=False,
+                cost=cost, miss_cost=miss_cost,
             )
             dW = (Wl - w_bc.value).reshape(-1)
             nz = np.nonzero(dW)[0]

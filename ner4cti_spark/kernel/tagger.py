@@ -154,10 +154,15 @@ class TaggerKernel:
             wid = nn.stable_hash_ids(np.array(missing, dtype=object), self.word_vocab)
             word_v = w["word_emb"][wid]                                  # (N,50)
             hard = w.get("_hard_aug_table")
-            if hard:  # M5: precomputed fused table (row overrides; the
-                #       fancy-indexed word_v above is already a copy)
+            if hard:  # M5: precomputed fused table, keyed by EXACT vocab
+                #       form — cased surface variants pass through
+                #       unaugmented (they hash to different embedding
+                #       rows; overriding them with the lowercase fusion
+                #       would replace their base vector, which the soft
+                #       path never does). Row overrides are safe: the
+                #       fancy-indexed word_v above is already a copy.
                 for i, t in enumerate(missing):
-                    hv = hard.get(t.lower())
+                    hv = hard.get(t)
                     if hv is not None:
                         word_v[i] = hv
             aug = w.get("_aug_neighbors")
@@ -374,9 +379,12 @@ def build_hard_aug_table(weights: dict[str, np.ndarray],
     similar-word neighbors, the gate-fused augmented embedding as a
     broadcastable table — the reference's 'hard' variant bakes the fusion
     into a lookup table offline, while 'soft' (M6, nn.soft_augment inside
-    `_soft_augment`) computes the identical fusion at inference. By
-    construction hard(w) ≡ soft(w) for the same neighbor sets (parity
-    tested). Ship the result as weights['_hard_aug_table']."""
+    `_soft_augment`) computes the identical fusion at inference.
+    hard(w) ≡ soft(w) for exact vocabulary forms (parity tested); they
+    deliberately differ on CASED surface variants — hard is a table keyed
+    by vocab form (cased tokens pass through), soft looks neighbors up by
+    lowercased form and fuses into the cased token's own embedding.
+    Ship the result as weights['_hard_aug_table']."""
     word_vocab = weights["word_emb"].shape[0]
     words = sorted(neighbors)
     if not words:

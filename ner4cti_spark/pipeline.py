@@ -68,10 +68,12 @@ def link_entities(mentions: DataFrame, cfg: PipelineConfig,
     mention table exactly ONCE and cached; every linking stage reads the
     cache (orders of magnitude smaller than the corpus). No blocking
     action runs here — the caller's first action on the result (e.g.
-    entities.cache().count()) materializes the whole chain in one job;
-    the output has exactly one row per distinct surface, so that count
-    IS n_surfaces (the old separate agg.count() probe serialized an
-    extra corpus-scale job into the pipeline tail)."""
+    entities.cache().count()) materializes the whole chain in one job,
+    and that count is exactly the alias-table row count (distinct mention
+    surfaces plus any hint bridge nodes — canonical forms never observed
+    verbatim), which is the right number for link_mentions' broadcast
+    decision. The old separate agg.count() probe serialized an extra
+    corpus-scale job into the pipeline tail."""
     from pyspark.sql import functions as F
 
     has_hints = "canonical_hint" in mentions.columns
@@ -143,12 +145,13 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         mentions = extract_mentions(spark, corpus, cfg).cache()
     stats: dict = {}
     entities = link_entities(mentions, cfg, stats=stats).cache()
-    # one blocking job materializes the whole linking chain; entities has
-    # exactly one row per distinct surface, so this count is n_surfaces
-    n_surfaces = entities.count()
+    # one blocking job materializes the whole linking chain; the count is
+    # the alias-table size (distinct surfaces + hint bridge nodes) — the
+    # exact quantity link_mentions' broadcast-vs-shuffle choice needs
+    n_alias_rows = entities.count()
     if "surface_agg" in stats:
         stats["surface_agg"].unpersist(blocking=False)
-    linked = graph.link_mentions(mentions, entities, alias_count=n_surfaces)
+    linked = graph.link_mentions(mentions, entities, alias_count=n_alias_rows)
     triples = graph.build_triples(linked, entities)
     if out_dir is not None:
         lineage.write_checkpoint(

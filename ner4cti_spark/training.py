@@ -164,7 +164,7 @@ def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
     if distributed:
         arts = perceptron.train_crf_distributed(
             train, ls, lex, epochs=n_epochs, use_patterns=cfg["use_patterns"],
-            clusters=clusters,
+            cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters,
         )
     else:
         sents = [

@@ -297,3 +297,11 @@ def test_hard_aug_table_equals_soft_fusion():
     v_plain = TaggerKernel(build_weights(), phrases={})._token_features(toks)
     assert not np.allclose(v_plain[0], v_hard[0])
     np.testing.assert_array_equal(v_plain[2], v_hard[2])
+    # documented divergence on CASED surfaces: the hard table is keyed by
+    # exact vocab form — 'Stuxnet' passes through unaugmented, while the
+    # soft path fuses via the lowercased neighbor lookup
+    v_hard_cased = TaggerKernel(w_hard, phrases={})._token_features(["Stuxnet"])
+    v_plain_cased = TaggerKernel(build_weights(), phrases={})._token_features(["Stuxnet"])
+    np.testing.assert_array_equal(v_hard_cased, v_plain_cased)
+    v_soft_cased = TaggerKernel(w_soft, phrases={})._token_features(["Stuxnet"])
+    assert not np.allclose(v_soft_cased, v_plain_cased)
