@@ -42,9 +42,22 @@ MAX_LEN = 256
 
 # fixed template count (see _sent_features) — every position emits
 # exactly K hashed features, so emissions are one fancy-index + sum
-N_TEMPLATES = 28
+N_TEMPLATES = 30
 
 _NEG = -1e4
+
+
+def _digit_norm(lw: str) -> str:
+    """Digit-collapsed word form: 'cve-2017-0144' → 'cve-0-0' — one
+    feature for a whole family of numbered variants."""
+    out: list[str] = []
+    for c in lw:
+        if c.isdigit():
+            if not out or out[-1] != "0":
+                out.append("0")
+        else:
+            out.append(c)
+    return "".join(out)
 
 
 def _shape(tok: str) -> str:
@@ -151,6 +164,8 @@ def _sent_features(tokens: list[str], phrases: dict, max_phrase: int,
             "C0=" + c_fine[i],
             slex,
             nlex,
+            "dw0=" + _digit_norm(lw),
+            "sh-1=" + (_shape(tokens[i - 1]) if i else "<s>"),
         )
         for k, f in enumerate(fs):
             out[i, k] = zlib.crc32(f.encode("utf-8"))
