@@ -119,7 +119,8 @@ def link_entities(mentions: DataFrame, cfg: PipelineConfig,
 
 def run_pipeline(spark: SparkSession, corpus: DataFrame,
                  cfg: PipelineConfig | None = None,
-                 out_dir: str | None = None) -> dict[str, DataFrame]:
+                 out_dir: str | None = None,
+                 weights_bc=None) -> dict[str, DataFrame]:
     """Returns {'mentions', 'entities', 'triples'} DataFrames.
 
     With out_dir: the tag stage checkpoints per-bucket (resume-aware,
@@ -132,7 +133,8 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
 
     cfg = cfg or PipelineConfig()
     if out_dir is not None:
-        new_mentions = extract_mentions(spark, corpus, cfg, out_dir=out_dir)
+        new_mentions = extract_mentions(spark, corpus, cfg, weights_bc=weights_bc,
+                                        out_dir=out_dir)
         lineage.write_checkpoint(
             spark, new_mentions, out_dir, table="mentions", stage="tag", mode="append"
         )
@@ -142,7 +144,7 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         else:  # empty corpus: partitioned write of zero rows creates no dir
             mentions = spark.createDataFrame([], MENTION_SCHEMA)
     else:
-        mentions = extract_mentions(spark, corpus, cfg).cache()
+        mentions = extract_mentions(spark, corpus, cfg, weights_bc=weights_bc).cache()
     stats: dict = {}
     entities = link_entities(mentions, cfg, stats=stats).cache()
     # one blocking job materializes the whole linking chain; the count is

@@ -51,12 +51,23 @@ def _get_kernel(weights_bc, neural_scale: float, decode: str,
            neural_scale, decode, use_patterns, tuple(ls.etypes), sent_cache)
     k = _KERNEL_CACHE.get(key)
     if k is None:
+        # bounded LRU: long-lived executors serve MANY jobs, each with its
+        # own weights broadcast → its own kernel whose token/sentence
+        # caches grow to ~100 MB at corpus scale. Unbounded, a reused
+        # Python worker accumulates one such kernel per job and its RSS
+        # climbs until the box pages (measured: tag stage 21.6s cold →
+        # 32.4s after three prior jobs at local[32]). Keep the most
+        # recent few; stale broadcasts never come back.
+        while len(_KERNEL_CACHE) >= 4:
+            _KERNEL_CACHE.pop(next(iter(_KERNEL_CACHE)))
         k = TaggerKernel(
             weights_bc.value, neural_scale=neural_scale, decode=decode,
             phrases=phrases_bc.value if phrases_bc is not None else None,
             use_patterns=use_patterns, label_space=ls, sent_cache=sent_cache,
         )
         _KERNEL_CACHE[key] = k
+    else:
+        _KERNEL_CACHE[key] = _KERNEL_CACHE.pop(key)  # refresh LRU position
     return k
 
 

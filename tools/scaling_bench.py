@@ -28,6 +28,9 @@ from ner4cti_spark.pipeline import PipelineConfig, run_pipeline, broadcast_weigh
 spark = get_spark(cores={cores}, shuffle_partitions=max({cores}, 16))
 corpus = generate_corpus(spark, n_docs={n_docs}).localCheckpoint(eager=True)
 cfg = PipelineConfig(num_partitions={cores} * 2, sent_cache=False)
+bc = broadcast_weights(spark, cfg)  # broadcast ONCE per job (north-star
+# deploy shape); per-trial re-broadcasts would also make reused Python
+# workers rebuild their kernel caches per trial
 # sent_cache=False: inference-bound regime — every sentence runs the
 # model, the honest proxy for real corpora (the synthetic corpus is
 # template-generated and would dedup ~90%, hiding the model cost)
@@ -35,7 +38,7 @@ cfg = PipelineConfig(num_partitions={cores} * 2, sent_cache=False)
 # warm-up: JIT/codegen/Python-worker pools spin up on a small pipeline
 # so the timed runs below measure steady-state, not first-run overhead
 warm = generate_corpus(spark, n_docs=2000).localCheckpoint(eager=True)
-warm_out = run_pipeline(spark, warm, cfg)
+warm_out = run_pipeline(spark, warm, cfg, weights_bc=bc)
 warm_out["triples"].count()
 warm_out["mentions"].unpersist(blocking=True)
 warm_out["entities"].unpersist(blocking=True)
@@ -47,13 +50,13 @@ pipe_sec = tag_sec = float("inf")
 n_triples = n_mentions = 0
 for _trial in range(2):
     t0 = time.time()
-    out = run_pipeline(spark, corpus, cfg)
+    out = run_pipeline(spark, corpus, cfg, weights_bc=bc)
     n_triples = out["triples"].count()
     pipe_sec = min(pipe_sec, time.time() - t0)
     out["mentions"].unpersist(blocking=True)
     out["entities"].unpersist(blocking=True)
     t0 = time.time()
-    n_mentions = extract_mentions(spark, corpus, cfg).count()
+    n_mentions = extract_mentions(spark, corpus, cfg, weights_bc=bc).count()
     tag_sec = min(tag_sec, time.time() - t0)
 
 print("RESULT " + json.dumps({{
@@ -64,16 +67,35 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_at(cores: int, n_docs: int) -> dict:
+N_JVM_RUNS = 2  # independent JVM runs per (cores, n_docs); min taken —
+#                 between-JVM variance (page-cache state, CPU thermal
+#                 state when that JVM happens to run) exceeds the
+#                 within-JVM trial variance and min-of-trials inside one
+#                 JVM cannot remove it
+
+
+def _run_once(cores: int, n_docs: int) -> dict:
     code = _RUN_SNIPPET.format(repo=REPO, cores=cores, n_docs=n_docs)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1200,
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800,
         cwd=REPO,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def run_at(cores: int, n_docs: int) -> dict:
+    best = None
+    for _ in range(N_JVM_RUNS):
+        r = _run_once(cores, n_docs)
+        if best is None:
+            best = r
+        else:
+            best["tag_sec"] = min(best["tag_sec"], r["tag_sec"])
+            best["pipeline_sec"] = min(best["pipeline_sec"], r["pipeline_sec"])
+    return best
 
 
 def _pair_section(n_docs: int, lo: int, hi: int) -> str:
@@ -112,9 +134,11 @@ Generated by tools/scaling_bench.py at {now}.
 
 Same job, identical deterministic input, separate JVMs at two local
 parallelism levels — the sandbox stand-in for N vs 4N executors (no
-real cluster is available here). Each number is the best of 2 trials
-after a small warm-up pipeline (single runs on this box vary up to
-~30% with page-cache state and CPU frequency scaling).
+real cluster is available here). Each number is the best over
+{N_JVM_RUNS} independent JVM runs × 2 in-JVM trials, after a small
+warm-up pipeline per JVM (single runs on this box vary up to ~30% with
+page-cache state and CPU frequency scaling; the variance is
+between-JVM, so in-JVM trials alone cannot remove it).
 
 {sections[0]}
 {sections[1]}
