@@ -245,10 +245,12 @@ def _prep(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
 def _train_epochs(data, ls: LabelSpace, buckets: int, epochs: int, seed: int,
                   W: np.ndarray | None = None, TR: np.ndarray | None = None,
                   average: bool = True, cost: float = 1.0,
-                  miss_cost: float = 2.0) -> tuple[np.ndarray, np.ndarray]:
-    """Core perceptron loop. With average=True returns the Collins
-    running average (stable final model); with average=False returns the
-    raw last weights (the parameter-mixing inner step).
+                  miss_cost: float = 2.0
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Core perceptron loop → (W, TR, per-epoch error rates). With
+    average=True returns the Collins running average (stable final
+    model); with average=False returns the raw last weights (the
+    parameter-mixing inner step).
 
     Training decodes are COST-AUGMENTED (structured hinge / max-margin
     perceptron): each wrong label adds `cost` to its training-time score,
@@ -313,12 +315,12 @@ def _train_epochs(data, ls: LabelSpace, buckets: int, epochs: int, seed: int,
         # averaged training loss proxy = hamming errors per token under
         # the cost-augmented decode — the convergence signal
         epoch_errors.append(ep_err / max(ep_tok, 1))
-    _train_epochs.last_epoch_errors = np.array(epoch_errors, dtype=np.float64)
+    errs = np.array(epoch_errors, dtype=np.float64)
     if not average or t == 0:
-        return W, TR
+        return W, TR, errs
     Wa += (t - Wt) * Wf.astype(np.float64)
     TRa += (t - tr_t) * TR
-    return (Wa / t).astype(np.float32).reshape(buckets, L), (TRa / t).astype(np.float32)
+    return (Wa / t).astype(np.float32).reshape(buckets, L), (TRa / t).astype(np.float32), errs
 
 
 def train_crf(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
@@ -330,13 +332,13 @@ def train_crf(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
     """Driver-local averaged perceptron fit → trained-weight arrays
     ("sp_*" keys merge into the kernel weight bundle)."""
     data = _prep(sents, ls, phrases, use_patterns, buckets, clusters)
-    W, TR = _train_epochs(data, ls, buckets, epochs, seed,
-                          cost=cost, miss_cost=miss_cost)
+    W, TR, errs = _train_epochs(data, ls, buckets, epochs, seed,
+                                cost=cost, miss_cost=miss_cost)
     return {
         "sp_w": W,
         "sp_trans": TR,
         "_sp_meta": np.array([buckets, int(use_patterns)], dtype=np.int64),
-        "_sp_epoch_errors": getattr(_train_epochs, "last_epoch_errors", np.zeros(0)),
+        "_sp_epoch_errors": errs,
     }
 
 
@@ -382,7 +384,7 @@ def train_crf_distributed(df, ls: LabelSpace, phrases: dict, *,
                 return
             data = _prep(sents, ls, phrases_bc.value, use_patterns, buckets,
                          clusters_bc.value)
-            Wl, TRl = _train_epochs(
+            Wl, TRl, _errs = _train_epochs(
                 data, ls, buckets, sub_epochs, seed + 1000 * _ep,
                 W=w_bc.value, TR=tr_bc.value, average=False,
                 cost=cost, miss_cost=miss_cost,

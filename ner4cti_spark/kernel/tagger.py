@@ -304,10 +304,18 @@ class TaggerKernel:
             chunk_keys = [uniq[i] for i in idxs]
             ctags, cscores = self._tag_chunk([sents[todo[k][0]] for k in chunk_keys])
             for j, key in enumerate(chunk_keys):
+                t = ctags[j]
+                # sentences beyond MAX_SEQ_LEN decode truncated; pad the
+                # tail with 'O' so the output stays aligned 1:1 with the
+                # input tokens (same contract as perceptron.decode_sents —
+                # an eval join must never silently drop tokens past 256)
+                n_in = len(sents[todo[key][0]])
+                if len(t) < n_in:
+                    t = t + ["O"] * (n_in - len(t))
                 if self._sent_cache_on:
-                    self._sent_cache[key] = (ctags[j], float(cscores[j]))
+                    self._sent_cache[key] = (t, float(cscores[j]))
                 for i in todo[key]:
-                    tags_out[i] = ctags[j]
+                    tags_out[i] = t
                     scores_out[i] = cscores[j]
         return tags_out, scores_out  # type: ignore[return-value]
 

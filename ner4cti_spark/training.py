@@ -185,10 +185,16 @@ def trained_weights(spark: SparkSession, corpus: str, *, refresh: bool = False
     present, else trained now and cached."""
     ls = label_space_for(corpus)
     path = os.path.join(ARTIFACT_DIR, f"{corpus}_crf.npz")
+    arts = None
     if not refresh and os.path.exists(path):
         arts, lex, etypes = perceptron.load_artifact(path)
-        assert etypes == ls.etypes, f"artifact {path} has stale label space"
-    else:
+        if etypes != ls.etypes:
+            # stale cached artifact (label space changed since it was
+            # written): silently decoding with a mismatched label space
+            # would produce wrong tags — retrain instead of asserting
+            # (a bare assert is stripped under python -O)
+            arts = None
+    if arts is None:
         arts, lex, clusters = train_corpus(spark, corpus)
         arts["_sp_clusters"] = clusters
         os.makedirs(ARTIFACT_DIR, exist_ok=True)
