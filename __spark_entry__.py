@@ -108,9 +108,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_topk": (D.q_embedding_topk, D.SQL_EMBEDDING_TOPK),
     "embedding_lsh_buckets": (D.q_embedding_lsh_buckets, D.SQL_EMBEDDING_LSH_BUCKETS),
     "embedding_neardup": (D.q_embedding_neardup, D.SQL_EMBEDDING_NEARDUP),
+    # detector-path evidence: planted near-dups make the rescore non-vacuous
+    "embedding_neardup_planted": (D.q_embedding_neardup_planted,
+                                  D.SQL_EMBEDDING_NEARDUP_PLANTED),
     "embedding_ivf": (D.q_embedding_ivf, D.SQL_EMBEDDING_IVF),
     # graph: connected components vs recursive-CTE oracle
     "connected_components": (D.q_connected_components, D.SQL_CONNECTED_COMPONENTS),
+    # graph: fixed-iteration power-method PageRank vs unrolled-CTE oracle
+    "graph_pagerank": (D.q_graph_pagerank, D.SQL_GRAPH_PAGERANK),
     # M12 Word2Vec training / multimodal / reference-corpus eval (rows-only)
     "word2vec_vectors": (D.q_word2vec_vectors, None),
     "media_features": (D.q_media_features, None),

@@ -618,18 +618,21 @@ def _ann_planes(dim: int):
     return R
 
 
-def _embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embedding_buckets(spark: SparkSession, sf_dir: str,
+                       emb: DataFrame | None = None) -> DataFrame:
     """(vec_id, tbl, bucket): one 16-bit sign bucket per vector per table.
     The projections run as one numpy matmul per Arrow batch (vectorized
-    mapInPandas — the Python crossing is amortized over the batch)."""
+    mapInPandas — the Python crossing is amortized over the batch).
+    `emb` overrides the indexed vector set (vec_id, e array<double>)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -651,7 +654,8 @@ def _embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(run, "vec_id long, tbl int, bucket string")
 
 
-def _ann_buckets_sql() -> str:
+def _ann_buckets_sql(src: str = "(SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)") -> str:
+    """Bucket SQL over any (vec_id, e DOUBLE[]) relation `src`."""
     return f"""
       SELECT vec_id, t AS tbl,
              string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
@@ -659,7 +663,7 @@ def _ann_buckets_sql() -> str:
         SELECT ex.vec_id, g.t, g.b, sum(ex.v * g.r) AS s
         FROM (
           SELECT vec_id, u.k, e[u.k + 1] AS v
-          FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          FROM {src} AS src_e,
                LATERAL UNNEST(generate_series(0, len(e) - 1)) AS u(k)
         ) ex
         JOIN (
@@ -668,8 +672,7 @@ def _ann_buckets_sql() -> str:
                       IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS r
           FROM UNNEST(generate_series(0, {_ANN_TABLES - 1})) AS tt(t),
                UNNEST(generate_series(0, {_ANN_BITS - 1})) AS bb(b),
-               UNNEST(generate_series(0, (SELECT len(embedding::DOUBLE[]) - 1
-                                          FROM embeddings LIMIT 1))) AS kk(k)
+               UNNEST(generate_series(0, (SELECT len(e) - 1 FROM {src} AS src_d LIMIT 1))) AS kk(k)
         ) g ON ex.k = g.k
         GROUP BY ex.vec_id, g.t, g.b
       ) GROUP BY vec_id, t
@@ -748,6 +751,65 @@ SQL_CONNECTED_COMPONENTS = """
     FROM reach GROUP BY a
 """
 SQL_CONNECTED_COMPONENTS = "WITH RECURSIVE " + SQL_CONNECTED_COMPONENTS.lstrip()[len("WITH "):]
+
+
+# ------------------------------------------------ PageRank (hash-checked)
+
+_PR_ITERS = 8
+_PR_DAMPING = 0.85
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's DataFrame power-iteration PageRank
+    (linking/pagerank.py — per iteration one join + one aggregation,
+    dangling mass folded in as a broadcast 1-row aggregate) on the
+    deterministic supplier graph, DIRECTED so dangling nodes exist and
+    the redistribution term is exercised. Oracle: the identical fixed
+    {_PR_ITERS}-iteration power method unrolled as one SQL CTE chain
+    (each iteration referenced exactly once — DuckDB inlines CTEs, so a
+    twice-referenced iteration would expand exponentially; the total
+    inflow therefore comes from a window aggregate, not a second
+    scalar-subquery scan). Ranks rounded at 1e-6."""
+    from .linking.pagerank import pagerank
+
+    edges = _cc_edges(spark, sf_dir)  # directed: dangling nodes exist
+    pr = pagerank(edges, damping=_PR_DAMPING, n_iter=_PR_ITERS)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("rank"),
+    )
+
+
+def _pagerank_sql() -> str:
+    d = _PR_DAMPING
+    ctes = [
+        """pr_edges AS (
+      SELECT src, dst FROM (
+        SELECT k AS src, k + 1 AS dst FROM (SELECT s_suppkey AS k FROM supplier) WHERE k % 5 <> 0
+        UNION ALL
+        SELECT k, k + 10 FROM (SELECT s_suppkey AS k FROM supplier) WHERE k % 10 = 3
+      ) WHERE dst IN (SELECT s_suppkey FROM supplier)
+    )""",
+        "nodes AS (SELECT src AS node FROM pr_edges UNION SELECT dst FROM pr_edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        ("ew AS (SELECT e.src, e.dst, 1.0/d.deg AS w FROM pr_edges e "
+         "JOIN (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src) d ON d.src = e.src)"),
+        "pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"pr{i + 1} AS (SELECT n.node, (1 - {d})/(SELECT n FROM nn) + {d} * "
+            f"(coalesce(i.inflow, 0) + (1 - coalesce(sum(i.inflow) OVER (), 0))"
+            f"/(SELECT n FROM nn)) AS rank "
+            f"FROM nodes n LEFT JOIN (SELECT e.dst AS node, sum(p.rank * e.w) AS inflow "
+            f"FROM ew e JOIN pr{i} p ON p.node = e.src GROUP BY e.dst) i ON i.node = n.node)"
+        )
+    body = ",\n    ".join(ctes)
+    return (f"WITH {body}\n    SELECT CAST(node AS BIGINT) AS node, "
+            f"floor(rank * 1e6 + 0.5) / 1e6 AS rank FROM pr{_PR_ITERS}")
+
+
+SQL_GRAPH_PAGERANK = _pagerank_sql()
 
 
 # ----------------------------- M12: Word2Vec embedding training (rows-only)
@@ -888,43 +950,155 @@ SQL_EMBEDDING_NEARDUP = f"""
 """
 
 
+def _with_planted(emb: DataFrame) -> DataFrame:
+    """Union the corpus with 20 deterministic near-duplicates: vectors
+    0..19 re-emitted as vec_id+1e6 with every component shifted by
+    0.02·e[0] (a tiny direction change, cos ≥ 0.998 regardless of the
+    embedding scale). The synthetic corpus has NO true near-dups (max
+    pairwise cos 0.51), which made the honest-threshold detector
+    vacuously green at 0 rows — the planted pairs exercise the full
+    bucket→candidate→rescore path non-vacuously, with the identical
+    arithmetic on both engines."""
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("e", lambda x: x + 0.02 * F.element_at("e", 1)).alias("e"),
+    )
+    return emb.unionByName(planted)
+
+
+_PLANTED_SRC = """(
+      SELECT vec_id, e FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(e, x -> x + 0.02 * e[1])
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) WHERE vec_id < 20
+    )"""
+
+
+def q_embedding_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_neardup with planted near-duplicates at threshold 0.9 —
+    the detector-path evidence query (rows > 0 by construction). Same
+    index, same candidate join, same exact-cosine rescore as
+    q_embedding_neardup."""
+    emb = _with_planted(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    buckets = _embedding_buckets(spark, sf_dir, emb=emb)
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"),
+              (F.col("x.tbl") == F.col("y.tbl"))
+              & (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b", _cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .filter(F.col("sim") >= 0.9)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP_PLANTED = f"""
+    WITH emb AS (SELECT vec_id, e FROM {_PLANTED_SRC}),
+    buckets AS ({_ann_buckets_sql(_PLANTED_SRC)}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM buckets x JOIN buckets y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+    FROM cand JOIN emb a ON a.vec_id = cand.vec_a JOIN emb b ON b.vec_id = cand.vec_b
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.9
+"""
+
+
 # ------------------------------------------------ IVF similarity search
 
 _IVF_C = 16      # coarse-quantizer cells
 _IVF_NPROBE = 4  # cells probed per query
 _IVF_TOPK = 5
+_IVF_ITERS = 3   # Lloyd iterations of the coarse-quantizer fit
 
 _COS = """(list_dot_product({a}, {b})
            / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"""
 
 
-def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer (here the C lowest-vec_id vectors
-    as deterministic cell centers — at scale a seeded pyspark.ml KMeans
-    fit, broadcast; the plan shape is identical) → every vector assigned
-    to its nearest cell (one narrow map over a broadcast centroid table)
-    → each query probes its NPROBE nearest cells and scores exact cosine
-    ONLY against vectors in those cells → top-k. The inverted-file
-    structure bounds per-query work at nprobe/C of the corpus; the
-    posting-list join partitions by cell id."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    cent = emb.filter(F.col("vec_id") < _IVF_C).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
-    )
-
-    from pyspark.sql import Window as W
-
+def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cent_id): nearest cell by cosine — one narrow map over
+    the broadcast centroid table, ties broken by cent_id."""
     sim_vc = _cosine(F.col("e"), F.col("c"))
     w_v = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
-    assign = (
+    return (
         emb.join(F.broadcast(cent))
         .select("vec_id", "cent_id", sim_vc.alias("s"))
         .withColumn("rk", F.row_number().over(w_v))
         .filter(F.col("rk") == 1)
         .select("vec_id", "cent_id")
     )
+
+
+def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Deterministic distributed Lloyd fit of the coarse quantizer:
+    init = the C lowest-vec_id vectors (a fixed seed, so both engines
+    start identically), then {_IVF_ITERS} iterations of {assign each
+    vector to its nearest centroid via the broadcast table; recompute
+    each cell's element-wise mean with a map-side-combining groupBy}.
+    Per iteration only the C×dim aggregated means come back to the
+    driver (the same shape pyspark.ml's KMeans uses: centroids live on
+    the driver, assignment and the update aggregation are distributed).
+    Means are rounded to 1e-6 so the DuckDB oracle — whose aggregation
+    order differs — reproduces the centroids bit-for-bit. Empty cells
+    keep their previous centroid."""
+    cent = emb.filter(F.col("vec_id") < _IVF_C).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+    )
+    for _ in range(_IVF_ITERS):
+        assign = _ivf_assign(emb, cent)
+        upd = (
+            assign.join(emb, "vec_id")
+            .select("cent_id", F.posexplode("e").alias("pos", "v"))
+            .groupBy("cent_id", "pos")
+            .agg((F.floor(F.avg("v") * 1e6 + 0.5) / 1e6).alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+        )
+        new_c = {r["cent_id"]: list(r["c"]) for r in upd.collect()}
+        prev = {r["cent_id"]: list(r["c"]) for r in cent.collect()}
+        rows = [(cid, new_c.get(cid, prev[cid])) for cid in sorted(prev)]
+        cent = spark.createDataFrame(rows, "cent_id long, c array<double>")
+    return cent
+
+
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse quantizer fitted with deterministic distributed
+    Lloyd/KMeans (_ivf_fit_centroids — broadcast centroids, distributed
+    assign + map-side-combined mean update) → every vector assigned to
+    its nearest cell (one narrow map over a broadcast centroid table)
+    → each query probes its NPROBE nearest cells and scores exact cosine
+    ONLY against vectors in those cells → top-k. The inverted-file
+    structure bounds per-query work at nprobe/C of the corpus; the
+    posting-list join partitions by cell id. The DuckDB oracle unrolls
+    the identical fixed-iteration fit, so centroids — and therefore
+    posting lists and results — match exactly."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = _ivf_fit_centroids(spark, emb)
+    assign = _ivf_assign(emb, cent)
     queries = emb.filter(
         (F.col("vec_id") >= _IVF_C) & (F.col("vec_id") < _IVF_C + 4)
     ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("q"))
@@ -954,9 +1128,42 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_IVF = f"""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS cent_id, e AS c FROM emb WHERE vec_id < {_IVF_C}),
+def _ivf_sql() -> str:
+    """Unrolled fixed-iteration Lloyd fit + IVF search, mirroring
+    q_embedding_ivf: cent0 = lowest-vec_id seeds; per iteration an
+    assign CTE (argmax cosine over the cross join) and a cent CTE
+    (element-wise mean per cell rounded at 1e-6, empty cells keep the
+    previous centroid)."""
+    ctes = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cent_id, e AS c FROM emb WHERE vec_id < {_IVF_C})",
+    ]
+    for i in range(_IVF_ITERS):
+        cos = _COS.format(a="emb.e", b=f"cent{i}.c")
+        ctes.append(f"""a{i + 1} AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT emb.vec_id, cent{i}.cent_id,
+               row_number() OVER (PARTITION BY emb.vec_id
+                                  ORDER BY {cos} DESC, cent{i}.cent_id) AS rk
+        FROM emb CROSS JOIN cent{i}
+      ) WHERE rk = 1
+    )""")
+        ctes.append(f"""cent{i + 1} AS (
+      SELECT c0.cent_id, coalesce(u.c, c0.c) AS c
+      FROM cent{i} c0 LEFT JOIN (
+        SELECT cent_id, list(m ORDER BY k) AS c FROM (
+          SELECT a.cent_id, u.k, floor(avg(e.e[u.k]) * 1e6 + 0.5) / 1e6 AS m
+          FROM a{i + 1} a JOIN emb e ON e.vec_id = a.vec_id,
+               LATERAL UNNEST(generate_series(1, len(e.e))) AS u(k)
+          GROUP BY a.cent_id, u.k
+        ) GROUP BY cent_id
+      ) u ON u.cent_id = c0.cent_id
+    )""")
+    fit = ",\n    ".join(ctes)
+    cf = f"cent{_IVF_ITERS}"
+    return f"""
+    WITH {fit},
+    cent AS (SELECT cent_id, c FROM {cf}),
     assign AS (
       SELECT vec_id, cent_id FROM (
         SELECT emb.vec_id, cent.cent_id,
@@ -990,6 +1197,9 @@ SQL_EMBEDDING_IVF = f"""
       JOIN emb e ON e.vec_id = c.vec_id
     ) WHERE rank <= {_IVF_TOPK}
 """
+
+
+SQL_EMBEDDING_IVF = _ivf_sql()
 
 
 # ---------------------- grouped-map applyInPandas (per-group model fit)

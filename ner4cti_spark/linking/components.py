@@ -17,9 +17,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_THRESHOLD = 2_000_000
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20,
                          n_partitions: int = 8,
-                         driver_threshold: int = 2_000_000) -> DataFrame:
+                         driver_threshold: int = DRIVER_THRESHOLD,
+                         probe_rows: list | None = None) -> DataFrame:
     """edges(src long, dst long) undirected → (node long, component long),
     component = min reachable node id. Deterministic.
 
@@ -29,11 +33,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     edges they are collected and solved with driver union-find in
     milliseconds — ~10 distributed rounds of shuffle latency buy nothing
     there. Above the threshold the distributed min-label fixpoint with
-    pointer jumping runs (O(log diameter) rounds)."""
+    pointer jumping runs (O(log diameter) rounds).
+
+    `probe_rows`: pre-collected `edges.limit(driver_threshold + 1)` rows
+    — callers that already ran a probe job (canonicalize piggybacks the
+    surface count on it) pass them in so no second job runs here."""
     # single probe job: collect up to threshold+1 edges; only if the graph
     # exceeds the threshold does the distributed fixpoint run (and the
     # collected prefix is discarded)
-    rows = edges.select("src", "dst").limit(driver_threshold + 1).collect()
+    rows = probe_rows if probe_rows is not None else (
+        edges.select("src", "dst").limit(driver_threshold + 1).collect()
+    )
     if len(rows) <= driver_threshold:
         return _driver_union_find(edges, rows)
     return _distributed_cc(edges, max_iter, n_partitions)
@@ -129,7 +139,8 @@ def _distributed_cc(edges: DataFrame, max_iter: int, n_partitions: int) -> DataF
     return labels
 
 
-def canonicalize(surfaces: DataFrame, pairs: DataFrame) -> DataFrame:
+def canonicalize(surfaces: DataFrame, pairs: DataFrame,
+                 stats: dict | None = None) -> DataFrame:
     """surfaces(etype, surface, freq) + linked pairs → alias table
     (entity_id, canonical, etype, alias).
 
@@ -137,7 +148,14 @@ def canonicalize(surfaces: DataFrame, pairs: DataFrame) -> DataFrame:
     the caller and cached — every downstream action here would otherwise
     re-shuffle the corpus-scale mention table). The canonical surface of
     a component is its most frequent alias (freq desc, surface asc
-    tiebreak). Singleton surfaces form their own entity."""
+    tiebreak). Singleton surfaces form their own entity.
+
+    With a `stats` dict, the probe job that sizes the CC strategy ALSO
+    counts the surface vocabulary (stats["n_surfaces"] = alias-table row
+    count — the output here is exactly one row per surfaces row), so the
+    caller's downstream broadcast-vs-shuffle decision costs no extra
+    blocking job. At local[N] the pipeline tail is bounded by serialized
+    job COUNT, not data volume (NOTES_r2), so every fused probe matters."""
     from pyspark.sql import Window as W
 
     from ..linking.minhash_lsh import normalize_surface
@@ -156,7 +174,24 @@ def canonicalize(surfaces: DataFrame, pairs: DataFrame) -> DataFrame:
         .select("src", "dst")
         .persist()
     )
-    comp = connected_components(edges)
+    probe_rows = None
+    if stats is not None:
+        # one job: up to threshold+1 edges plus a 1-row surface count
+        probe = (
+            edges.select("src", "dst", F.lit(0).alias("marker"))
+            .limit(DRIVER_THRESHOLD + 1)
+            .unionByName(
+                surfaces.agg(F.count(F.lit(1)).alias("src"))
+                .select("src", F.lit(0).cast("long").alias("dst"),
+                        F.lit(1).alias("marker"))
+            )
+            .collect()
+        )
+        probe_rows = [r for r in probe if r["marker"] == 0]
+        stats["n_surfaces"] = int(
+            next(r["src"] for r in probe if r["marker"] == 1)
+        )
+    comp = connected_components(edges, probe_rows=probe_rows)
     edges.unpersist(blocking=False)
     labeled = (
         ids.join(comp, ids.node == comp.node, "left")

@@ -114,7 +114,7 @@ def link_entities(mentions: DataFrame, cfg: PipelineConfig,
     )
     fuzzy = candidate_pairs_sql(surfaces, sim_threshold=cfg.link_threshold)
     pairs = hint_pairs.unionByName(fuzzy).dropDuplicates(["etype", "surface_a", "surface_b"])
-    return canonicalize(surfaces, pairs)
+    return canonicalize(surfaces, pairs, stats=stats)
 
 
 def run_pipeline(spark: SparkSession, corpus: DataFrame,
@@ -147,12 +147,15 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
         mentions = extract_mentions(spark, corpus, cfg, weights_bc=weights_bc).cache()
     stats: dict = {}
     entities = link_entities(mentions, cfg, stats=stats).cache()
-    # one blocking job materializes the whole linking chain; the count is
-    # the alias-table size (distinct surfaces + hint bridge nodes) — the
-    # exact quantity link_mentions' broadcast-vs-shuffle choice needs
-    n_alias_rows = entities.count()
-    if "surface_agg" in stats:
-        stats["surface_agg"].unpersist(blocking=False)
+    # alias-table row count (distinct surfaces + hint bridge nodes) — the
+    # exact quantity link_mentions' broadcast-vs-shuffle choice needs —
+    # comes from canonicalize's CC probe job (piggybacked 1-row count),
+    # so NO separate entities.count() job serializes into the tail; the
+    # caller's first action on triples materializes the (cached) linking
+    # chain, reading the still-persisted surface aggregation.
+    n_alias_rows = stats.get("n_surfaces")
+    if n_alias_rows is None:  # defensive: canonicalize probe skipped
+        n_alias_rows = entities.count()
     linked = graph.link_mentions(mentions, entities, alias_count=n_alias_rows)
     triples = graph.build_triples(linked, entities)
     if out_dir is not None:
@@ -160,4 +163,12 @@ def run_pipeline(spark: SparkSession, corpus: DataFrame,
             spark, triples, out_dir, table="triples", stage="materialize", mode="overwrite"
         )
         triples = spark.read.parquet(f"{out_dir}/triples").drop("bucket")
-    return {"mentions": mentions, "entities": entities, "triples": triples}
+        if "surface_agg" in stats:  # triples are materialized: safe to free
+            stats["surface_agg"].unpersist(blocking=False)
+    out = {"mentions": mentions, "entities": entities, "triples": triples}
+    if out_dir is None and "surface_agg" in stats:
+        # lazy path: the persisted surface aggregation must survive until
+        # the caller's first action populates the entities cache; hand the
+        # handle back so callers that unpersist their outputs free it too
+        out["_surface_agg"] = stats["surface_agg"]
+    return out
