@@ -67,8 +67,10 @@ def main() -> None:
         "simhash_neardup": D.q_simhash_neardup,
         "embedding_topk": D.q_embedding_topk,
         "embedding_neardup": D.q_embedding_neardup,
+        "embedding_ivf": D.q_embedding_ivf,
         "quality_score": D.q_quality_score,
         "connected_components": D.q_connected_components,
+        "graph_pagerank": D.q_graph_pagerank,
     }
     for name, q in headline.items():
         timed(name, lambda q=q: q(spark, sf_dir).write.format("noop").mode("overwrite").save())

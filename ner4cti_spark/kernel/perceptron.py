@@ -172,6 +172,87 @@ def _sent_features(tokens: list[str], phrases: dict, max_phrase: int,
     return (out % buckets).astype(np.int32)
 
 
+# ------------------- sentence-attribution classifier (two-pass, M10+)
+#
+# MalwareTextDB-style corpora annotate only ATTRIBUTED sentences (the
+# sentence-level context decides whether token spans exist at all), so a
+# single token CRF trained on the full split learns a crushing O prior
+# and recall caps ~0.23. The two-pass analog of the reference's
+# sentence-conditional semantics (MalwareDB/read_MalwareTextDB.py corpus
+# construction): a binary averaged margin perceptron decides attribution,
+# gating a token CRF trained on attributed sentences only; non-gated
+# sentences fall back to the full-split model. Measured (valid-selected,
+# test-reported): span F1 0.326 → ~0.38.
+
+CLF_BUCKETS = 1 << 18
+
+
+def clf_features(tokens: list[str], phrases: dict, max_phrase: int,
+                 clusters: dict | None) -> np.ndarray:
+    """Sentence-level hashed feature ids (unique, variable length):
+    unigrams/bigrams, lexicon etypes present + span count, length bucket,
+    shapes, UPOS inventory + verb count, word-cluster ids, digit-collapsed
+    forms."""
+    from . import pos as _pos
+
+    lows = [t.lower() for t in tokens]
+    lt = lexicon_bio(tokens, phrases, max_phrase) if phrases else ["O"] * len(tokens)
+    up = [_pos.upos(t) for t in tokens]
+    fs = ["b"]
+    fs += ["w=" + w for w in set(lows)]
+    fs += ["bg=" + a + "_" + b for a, b in zip(lows, lows[1:])]
+    fs += ["lex=" + e for e in sorted({t[2:] for t in lt if t != "O"})]
+    fs.append("nlex=%d" % min(sum(t.startswith("B-") for t in lt), 5))
+    fs.append("len=%d" % min(len(tokens) // 5, 8))
+    fs += ["sh=" + _shape(t) for t in set(tokens)]
+    fs += ["up=" + u for u in set(up)]
+    fs.append("nv=%d" % min(sum(1 for u in up if u == "VERB"), 5))
+    if clusters:
+        cl = [clusters.get(w) for w in lows]
+        fs += ["c=%s" % c[0] for c in cl if c]
+        fs += ["C=%s" % c[1] for c in cl if c]
+    fs += ["dw=" + _digit_norm(w) for w in set(lows)]
+    return np.unique(
+        np.array([zlib.crc32(f.encode("utf-8")) % CLF_BUCKETS for f in fs],
+                 dtype=np.int64)
+    )
+
+
+def train_sentence_clf(sents: list[tuple[list[str], list[str]]], phrases: dict,
+                       *, clusters: dict | None = None, epochs: int = 15,
+                       seed: int = 7, tau: float = 1.0, pos_w: float = 3.0
+                       ) -> np.ndarray:
+    """Averaged margin perceptron over clf_features; label = sentence has
+    any non-O gold tag. `pos_w` upweights positive updates (downstream
+    span recall depends on gate recall more than gate precision)."""
+    max_phrase = max((len(k) for k in phrases), default=1)
+    w = np.zeros(CLF_BUCKETS, dtype=np.float64)
+    wa = np.zeros(CLF_BUCKETS, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    feats = [
+        (clf_features(list(t), phrases, max_phrase, clusters),
+         1.0 if any(x != "O" for x in g) else -1.0)
+        for t, g in sents if t
+    ]
+    t_step = 0
+    for _ in range(epochs):
+        for i in rng.permutation(len(feats)):
+            f, y = feats[i]
+            t_step += 1
+            if y * w[f].sum() < tau:
+                step = y * (pos_w if y > 0 else 1.0)
+                w[f] += step
+                wa[f] += step * t_step
+    return (w - wa / max(t_step, 1)).astype(np.float32)
+
+
+# gate: attributed iff clf > GATE_C_HI, or clf > GATE_C_LO and the attr
+# model's Viterbi margin over the all-O path > GATE_M_TAU (valid-selected)
+GATE_C_HI = 0.0
+GATE_C_LO = -10.0
+GATE_M_TAU = 24.0
+
+
 def repair_bio(tags: list[str]) -> list[str]:
     """I-X without a preceding B-X/I-X becomes B-X (standard BIO repair,
     so gold paths are reachable under the structural transition mask)."""
@@ -202,11 +283,18 @@ def decode_sents(sents: list[list[str]], arts: dict, ls: LabelSpace,
                  phrases: dict, use_patterns: bool,
                  clusters: dict | None = None) -> list[list[str]]:
     """Decode with trained weights (driver-side helper; the distributed
-    path lives in TaggerKernel._tag_chunk)."""
+    path lives in TaggerKernel._tag_chunk). With a two-pass bundle
+    ("sp2_w"/"clf_w" present) each sentence is gated by the attribution
+    classifier (+ attr-model margin); gated sentences take the
+    attributed-trained decode, everything else — including gated
+    sentences whose attr decode is all-O — falls back to the full-split
+    model. Semantics identical to TaggerKernel._tag_chunk_trained."""
     W, TR = arts["sp_w"], arts["sp_trans"]
     buckets = W.shape[0]
     mask, em_mask, first_mask = _decode_masks(ls)
     max_phrase = max((len(k) for k in phrases), default=1)
+    two = "sp2_w" in arts and "clf_w" in arts
+    o_id = ls.o_id
     out = []
     for sent in sents:
         if not sent:
@@ -214,10 +302,26 @@ def decode_sents(sents: list[list[str]], arts: dict, ls: LabelSpace,
             continue
         sent_t = sent[:MAX_LEN]
         feats = _sent_features(sent_t, phrases, max_phrase, use_patterns, buckets, clusters)
-        e = W[feats].sum(axis=1) + em_mask
-        e[0] += first_mask
-        path, _ = viterbi_decode(e[None], TR + mask, np.array([len(sent_t)]))
-        tags = [ls.id2label[int(i)] for i in path[0][: len(sent_t)]]
+        path = None
+        if two:
+            c = float(arts["clf_w"][
+                clf_features(sent_t, phrases, max_phrase, clusters)].sum())
+            if c > GATE_C_LO:
+                TR2m = arts["sp2_trans"] + mask
+                e2 = arts["sp2_w"][feats].sum(axis=1) + em_mask
+                e2[0] += first_mask
+                p2, s2 = viterbi_decode(e2[None], TR2m, np.array([len(sent_t)]))
+                allo = e2[:, o_id].sum() + (len(sent_t) - 1) * TR2m[o_id, o_id]
+                if c > GATE_C_HI or float(s2[0]) - allo > GATE_M_TAU:
+                    cand = p2[0][: len(sent_t)]
+                    if (cand != o_id).any():
+                        path = cand
+        if path is None:
+            e = W[feats].sum(axis=1) + em_mask
+            e[0] += first_mask
+            p, _ = viterbi_decode(e[None], TR + mask, np.array([len(sent_t)]))
+            path = p[0][: len(sent_t)]
+        tags = [ls.id2label[int(i)] for i in path]
         tags += ["O"] * (len(sent) - len(tags))
         out.append(tags)
     return out
@@ -418,22 +522,43 @@ def train_crf_distributed(df, ls: LabelSpace, phrases: dict, *,
 
 # ------------------------------------------------------------- artifacts
 
+def _sparse(a: np.ndarray) -> dict[str, np.ndarray]:
+    flat = a.reshape(-1)
+    nz = np.nonzero(flat)[0]
+    return {"idx": nz.astype(np.int64), "val": flat[nz].astype(np.float32),
+            "shape": np.array(a.shape, dtype=np.int64)}
+
+
+def _densify(idx, val, shape) -> np.ndarray:
+    n = int(np.prod(shape))
+    out = np.zeros(n, dtype=np.float32)
+    out[idx] = val
+    return out.reshape(tuple(int(s) for s in shape))
+
+
 def save_artifact(path: str, arts: dict[str, np.ndarray],
                   phrases: dict, etypes: list[str]) -> None:
     """Sparse npz: only nonzero (feature, label) weights are stored, plus
     the lexicon the features were built against (features at inference
-    must see the identical phrase table)."""
-    W = arts["sp_w"]
-    flat = W.reshape(-1)
-    nz = np.nonzero(flat)[0]
+    must see the identical phrase table). Two-pass bundles additionally
+    carry the attributed-trained model (sp2_*) and the sentence
+    classifier (clf_w), also sparse."""
     keys = sorted(phrases)
     clusters = arts.get("_sp_clusters") or {}
     cwords = sorted(clusters)
+    payload: dict[str, np.ndarray] = {}
+    w = _sparse(arts["sp_w"])
+    payload.update(idx=w["idx"], val=w["val"], shape=w["shape"])
+    if "sp2_w" in arts:
+        w2 = _sparse(arts["sp2_w"])
+        cw = _sparse(arts["clf_w"])
+        payload.update(
+            sp2_idx=w2["idx"], sp2_val=w2["val"], sp2_shape=w2["shape"],
+            sp2_trans=arts["sp2_trans"],
+            clf_idx=cw["idx"], clf_val=cw["val"], clf_shape=cw["shape"],
+        )
     np.savez_compressed(
         path,
-        idx=nz.astype(np.int64),
-        val=flat[nz].astype(np.float32),
-        shape=np.array(W.shape, dtype=np.int64),
         sp_trans=arts["sp_trans"],
         sp_meta=arts["_sp_meta"],
         lex_keys=np.array([" ".join(k) for k in keys], dtype=object),
@@ -443,16 +568,14 @@ def save_artifact(path: str, arts: dict[str, np.ndarray],
         cl_coarse=np.array([clusters[w][0] for w in cwords], dtype=np.int32),
         cl_fine=np.array([clusters[w][1] for w in cwords], dtype=np.int32),
         etypes=np.array(etypes, dtype=object),
+        **payload,
     )
 
 
 def load_artifact(path: str) -> tuple[dict[str, np.ndarray], dict, list[str]]:
     z = np.load(path, allow_pickle=True)
-    shape = tuple(z["shape"])
-    W = np.zeros(int(shape[0]) * int(shape[1]), dtype=np.float32)
-    W[z["idx"]] = z["val"]
     arts = {
-        "sp_w": W.reshape(shape),
+        "sp_w": _densify(z["idx"], z["val"], z["shape"]),
         "sp_trans": z["sp_trans"],
         "_sp_meta": z["sp_meta"],
         "_sp_clusters": {
@@ -460,6 +583,10 @@ def load_artifact(path: str) -> tuple[dict[str, np.ndarray], dict, list[str]]:
             for w, a, b in zip(z["cl_words"], z["cl_coarse"], z["cl_fine"])
         },
     }
+    if "sp2_idx" in z.files:
+        arts["sp2_w"] = _densify(z["sp2_idx"], z["sp2_val"], z["sp2_shape"])
+        arts["sp2_trans"] = z["sp2_trans"]
+        arts["clf_w"] = _densify(z["clf_idx"], z["clf_val"], z["clf_shape"])
     phrases = {
         tuple(k.split(" ")): (e, c)
         for k, e, c in zip(z["lex_keys"], z["lex_etype"], z["lex_canon"])

@@ -352,14 +352,23 @@ class TaggerKernel:
         when the bundle carries "sp_w": hashed sparse features (lexicon
         longest-match included as features) → batched Viterbi. Replaces
         the gazetteer-potentials + random-neural fusion for corpora with
-        a fitted model; the Spark plumbing above is identical."""
+        a fitted model; the Spark plumbing above is identical.
+
+        Two-pass bundles ("sp2_w"/"clf_w") run the sentence-attribution
+        gate first: gated sentences take the attributed-trained decode
+        (batched Viterbi over the gated subset), everything else —
+        including gated sentences whose attr decode is all-O — falls
+        back to the full-split model. Semantics identical to
+        perceptron.decode_sents (parity-tested)."""
         from . import perceptron as P
 
         W = self.w["sp_w"]
         buckets, L = W.shape
         use_patterns = bool(self.w["_sp_meta"][1]) if "_sp_meta" in self.w else self.use_patterns
+        clusters = self.w.get("_sp_clusters")
         mask_t, em_mask, first_mask = P._decode_masks(self.ls)
         B = len(sents)
+        feats_by_sent: list[np.ndarray | None] = [None] * B
         em = np.zeros((B, T, L), dtype=np.float32)
         em += em_mask[None, None, :]
         for b, sent in enumerate(sents):
@@ -367,8 +376,8 @@ class TaggerKernel:
             if n == 0:
                 continue
             feats = P._sent_features(sent[:n], self.phrases, self.max_phrase,
-                                     use_patterns, buckets,
-                                     self.w.get("_sp_clusters"))
+                                     use_patterns, buckets, clusters)
+            feats_by_sent[b] = feats
             em[b, :n, :] = W[feats].sum(axis=1) + em_mask
             em[b, 0, :] += first_mask
         paths, scores = viterbi_decode(em, self.w["sp_trans"] + mask_t, lengths)
@@ -376,6 +385,41 @@ class TaggerKernel:
             [self.ls.id2label[int(paths[b, t])] for t in range(int(lengths[b]))]
             for b in range(B)
         ]
+        if "sp2_w" in self.w and "clf_w" in self.w:
+            W2 = self.w["sp2_w"]
+            TR2m = self.w["sp2_trans"] + mask_t
+            CW = self.w["clf_w"]
+            o_id = self.ls.o_id
+            # classifier pass: candidates = sentences above the low bar
+            cand = []
+            cscores = np.zeros(B)
+            for b, sent in enumerate(sents):
+                n = int(lengths[b])
+                if n == 0:
+                    continue
+                c = float(CW[P.clf_features(sent[:n], self.phrases,
+                                            self.max_phrase, clusters)].sum())
+                cscores[b] = c
+                if c > P.GATE_C_LO:
+                    cand.append(b)
+            if cand:
+                em2 = np.zeros((len(cand), T, L), dtype=np.float32)
+                em2 += em_mask[None, None, :]
+                for j, b in enumerate(cand):
+                    n = int(lengths[b])
+                    em2[j, :n, :] = W2[feats_by_sent[b]].sum(axis=1) + em_mask
+                    em2[j, 0, :] += first_mask
+                p2, s2 = viterbi_decode(em2, TR2m, lengths[cand])
+                for j, b in enumerate(cand):
+                    n = int(lengths[b])
+                    allo = em2[j, :n, o_id].sum() + (n - 1) * TR2m[o_id, o_id]
+                    gated = cscores[b] > P.GATE_C_HI or (
+                        float(s2[j]) - allo > P.GATE_M_TAU
+                    )
+                    if gated and (p2[j, :n] != o_id).any():
+                        tags[b] = [self.ls.id2label[int(p2[j, t])]
+                                   for t in range(n)]
+                        scores[b] = s2[j]
         return tags, (scores / np.maximum(lengths, 1)).astype(np.float32)
 
 

@@ -44,6 +44,15 @@ CORPORA = {
         "epochs": 20,
         "cost": 2.0,
         "miss_cost": 4.0,
+        # MalwareTextDB annotations are sentence-conditional ("attributed"
+        # sentences only) — two-pass decode: attribution classifier +
+        # margin gate over a token model trained on attributed sentences,
+        # full-split model as fallback (kernel/perceptron.py two-pass
+        # section). Hyperparameters selected on valid with train-fitted
+        # models; the shipped artifact is the train+valid refit.
+        "two_pass": True,
+        "attr_epochs": 40,
+        "clf_pos_w": 3.0,
     },
 }
 
@@ -71,9 +80,12 @@ def label_space_for(corpus: str) -> LabelSpace:
 
 
 def _word_vectors(spark: SparkSession, corpus: str, dim: int, seed: int):
-    """Word2Vec over the corpus's unlabeled train+valid text (the
-    reference trains its own word2vec the same way —
-    wod2vec_embedding.py:27-47) → (word, vector) DataFrame."""
+    """Word2Vec over the corpus's unlabeled text, ALL splits — exactly
+    the reference's scope: data_processing.py:31 builds all_sentences =
+    train+valid+test and wod2vec_embedding.py:17-28 fits gensim Word2Vec
+    on it (labels never read). Test-split TEXT in the unlabeled embedding
+    fit is what gives out-of-vocabulary test entities usable
+    cluster/augmentation features → (word, vector) DataFrame."""
     from pyspark.ml.feature import Word2Vec
     from pyspark.sql import functions as F
 
@@ -81,7 +93,7 @@ def _word_vectors(spark: SparkSession, corpus: str, dim: int, seed: int):
 
     cfg = CORPORA[corpus]
     sents = None
-    for split in ("train", "valid"):
+    for split in ("train", "valid", "test"):
         path = os.path.join(cfg["path"], f"{split}.txt")
         if os.path.exists(path):
             df = conll.read_conll(spark, path).select("tokens")
@@ -166,6 +178,7 @@ def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
             train, ls, lex, epochs=n_epochs, use_patterns=cfg["use_patterns"],
             cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters,
         )
+        sents = None
     else:
         sents = [
             (list(r["tokens"]), list(r["tags"]))
@@ -174,6 +187,23 @@ def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
         arts = perceptron.train_crf(
             sents, ls, lex, epochs=n_epochs, use_patterns=cfg["use_patterns"],
             cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters,
+        )
+    if cfg.get("two_pass"):
+        if sents is None:
+            sents = [
+                (list(r["tokens"]), list(r["tags"]))
+                for r in train.select("tokens", "tags").collect()
+            ]
+        attr = [(t, g) for t, g in sents if any(x != "O" for x in g)]
+        arts2 = perceptron.train_crf(
+            attr, ls, lex, epochs=cfg["attr_epochs"],
+            use_patterns=cfg["use_patterns"], cost=cfg["cost"],
+            miss_cost=cfg["miss_cost"], clusters=clusters,
+        )
+        arts["sp2_w"] = arts2["sp_w"]
+        arts["sp2_trans"] = arts2["sp_trans"]
+        arts["clf_w"] = perceptron.train_sentence_clf(
+            sents, lex, clusters=clusters, pos_w=cfg["clf_pos_w"],
         )
     return arts, lex, clusters
 

@@ -73,6 +73,10 @@ def test_artifact_roundtrip(tmp_path):
     arts = P.train_crf(sents, LS, phrases, epochs=3, use_patterns=False,
                        clusters=clusters)
     arts["_sp_clusters"] = clusters
+    # two-pass extension roundtrips too
+    arts["sp2_w"] = arts["sp_w"] * 0.5
+    arts["sp2_trans"] = arts["sp_trans"] * 0.5
+    arts["clf_w"] = P.train_sentence_clf(sents, phrases, epochs=2)
     path = os.path.join(tmp_path, "toy.npz")
     P.save_artifact(path, arts, phrases, LS.etypes)
     arts2, phrases2, etypes = P.load_artifact(path)
@@ -81,6 +85,8 @@ def test_artifact_roundtrip(tmp_path):
     assert arts2["_sp_clusters"] == clusters
     np.testing.assert_array_equal(arts["sp_w"], arts2["sp_w"])
     np.testing.assert_array_equal(arts["sp_trans"], arts2["sp_trans"])
+    np.testing.assert_array_equal(arts["sp2_w"], arts2["sp2_w"])
+    np.testing.assert_array_equal(arts["clf_w"], arts2["clf_w"])
     toks = [s for s, _ in sents[:10]]
     assert (P.decode_sents(toks, arts, LS, phrases, False, clusters)
             == P.decode_sents(toks, arts2, LS, phrases2, False, clusters))
@@ -151,14 +157,50 @@ def test_dnrti_trained_quality_gate(spark):
     not os.path.exists("/root/reference/MalwareDB/MalwareDB/test.txt"),
     reason="reference corpus not present")
 def test_malwaredb_trained_quality_gate(spark):
-    """MalwareDB span-exact F1 ≥ 0.30 (lexicon baseline was 0.26; the
-    corpus's open-vocabulary 'attributed sentence' annotations cap
-    feature-CRF systems near this level — the original MalwareTextDB
-    paper's CRF baselines and most SemEval-2018 Task 8 systems land in
-    the 0.2-0.45 band; the reference's BERT branch is what pushes
-    higher, and its checkpoints/torch are absent from this env)."""
+    """MalwareDB span-exact F1 ≥ 0.37 with the two-pass
+    attributed-sentence pipeline (single-pass CRF was 0.33, lexicon
+    baseline 0.26). The corpus's sentence-conditional annotations cap
+    feature-CRF systems well below the neural band — the original
+    MalwareTextDB paper's CRF baselines and most SemEval-2018 Task 8
+    systems land in the 0.2-0.45 band; the reference's BERT branch is
+    what pushes higher, and its checkpoints/torch are absent from this
+    env. The two-pass sits in the band's upper half."""
     from ner4cti_spark.dataprep_queries import q_malwaredb_eval
 
     row = q_malwaredb_eval(spark, "").collect()[0]
-    assert row["f1"] >= 0.30, row
+    assert row["f1"] >= 0.37, row
     assert row["accuracy"] >= 0.82, row
+
+
+def test_two_pass_kernel_matches_decode_sents():
+    """Two-pass (sp2_w/clf_w) executor path ≡ driver decode_sents on a
+    gate-exercising toy: unattributed sentences must come out all-O via
+    the classifier gate, attributed ones decode with the attr model."""
+    from ner4cti_spark.kernel.tagger import TaggerKernel
+    from ner4cti_spark.kernel.weights import build_weights
+
+    rng = np.random.default_rng(3)
+    sents = []
+    for i in range(120):
+        name = NAMES[int(rng.integers(len(NAMES)))]
+        if i % 3 == 0:  # unattributed filler
+            sents.append((["filler", "words", "only", "here"], ["O"] * 4))
+        elif i % 3 == 1:
+            sents.append((["alpha", name, "does", "beta"], ["O", "B-X", "O", "O"]))
+        else:
+            sents.append((["gamma", name, "does", "beta"], ["O", "B-Y", "O", "O"]))
+    base = P.train_crf(sents, LS, {}, epochs=4, use_patterns=False)
+    attr = [(t, g) for t, g in sents if any(x != "O" for x in g)]
+    arts2 = P.train_crf(attr, LS, {}, epochs=4, use_patterns=False)
+    base["sp2_w"] = arts2["sp_w"]
+    base["sp2_trans"] = arts2["sp_trans"]
+    base["clf_w"] = P.train_sentence_clf(sents, {}, epochs=8)
+    toks = [s for s, _ in sents[:30]] + [["filler", "words", "only", "here"]]
+    want = P.decode_sents(toks, base, LS, {}, False)
+    w = build_weights(label_space=LS)
+    w.update(base)
+    kernel = TaggerKernel(w, phrases={}, use_patterns=False, label_space=LS)
+    got, _ = kernel.tag(toks)
+    assert got == want
+    # the gate actually fires: filler decodes all-O
+    assert want[-1] == ["O"] * 4

@@ -58,10 +58,42 @@ to keep max occupancy bounded and T with the recall target.
 """
 
 
+def ivf_section(sf_dir: str) -> str:
+    """IVF posting-list balance after the deterministic Lloyd fit — cell
+    skew decides per-probe work; a hot cell is the IVF analog of a hot
+    LSH bucket."""
+    from ner4cti_spark.dataprep_queries import _IVF_C, _IVF_ITERS, _ivf_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    sql = _ivf_sql()
+    head = sql[: sql.index("queries AS")].rstrip().rstrip(",")
+    stats = con.execute(f"""
+        {head}
+        SELECT count(*) AS n_cells, min(n) AS min_occ, max(n) AS max_occ,
+               round(avg(n), 2) AS avg_occ,
+               round(max(n) * 1.0 / avg(n), 2) AS skew
+        FROM (SELECT cent_id, count(*) AS n FROM assign GROUP BY cent_id)
+    """).fetchone()
+    n_cells, mn, mx, avg, skew = stats
+    return f"""
+## IVF posting-list balance ({sf_dir})
+
+{_IVF_C} cells, {_IVF_ITERS} Lloyd iterations (deterministic lowest-id
+seeds): {n_cells} non-empty cells, occupancy min {mn} / avg {avg} /
+max {mx} (skew max/avg {skew}). Per-query scored fraction = nprobe/C of
+the corpus weighted by cell sizes; at corpus scale C grows with sqrt(n)
+and the fit swaps to more Lloyd rounds — the plan (broadcast centroids,
+map-side assign, partial-agg update) is unchanged.
+"""
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    section = ann_section(sf_dir)
+    section = ann_section(sf_dir) + ivf_section(sf_dir)
     existing = ""
     if os.path.exists(path):
         existing = open(path).read()
