@@ -249,8 +249,8 @@ def train_sentence_clf(sents: list[tuple[list[str], list[str]]], phrases: dict,
 # gate: attributed iff clf > GATE_C_HI, or clf > GATE_C_LO and the attr
 # model's Viterbi margin over the all-O path > GATE_M_TAU (valid-selected)
 GATE_C_HI = 0.0
-GATE_C_LO = -10.0
-GATE_M_TAU = 24.0
+GATE_C_LO = -20.0
+GATE_M_TAU = 40.0
 
 
 def repair_bio(tags: list[str]) -> list[str]:
