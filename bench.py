@@ -66,7 +66,10 @@ def main() -> None:
         "dedup_simhash": D.q_dedup_simhash,
         "simhash_neardup": D.q_simhash_neardup,
         "embedding_topk": D.q_embedding_topk,
-        "embedding_neardup": D.q_embedding_neardup,
+        # planted variant: same index/candidate/rescore plan, non-empty
+        # output (the honest-threshold query returns 0 rows on the
+        # synthetic corpus — timing nothing)
+        "embedding_neardup": D.q_embedding_neardup_planted,
         "embedding_ivf": D.q_embedding_ivf,
         "quality_score": D.q_quality_score,
         "connected_components": D.q_connected_components,

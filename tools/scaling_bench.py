@@ -5,7 +5,9 @@ the same job at two local parallelism levels on identical input
 (local[8] vs local[32], separate JVMs). Reports throughput at both and
 scaling efficiency = (thr_4N / thr_N) / 4 into BENCH/BASELINE.md.
 
-Usage: python tools/scaling_bench.py [n_docs]
+Usage: python tools/scaling_bench.py [n_docs]  (default 100000 —
+the corpus size the recorded BASELINE pairs use; at 40k the fixed
+linking-tail latency dominates and efficiencies read ~0.15 lower)
 """
 
 from __future__ import annotations
@@ -123,7 +125,7 @@ Raw: local[{hi}] = {json.dumps(r_hi)}
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
     sections = [_pair_section(n_docs, 4, 16), _pair_section(n_docs, 8, 32)]
     now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     md = f"""# BENCH baseline — measured on this engine
