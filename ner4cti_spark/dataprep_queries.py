@@ -1058,6 +1058,9 @@ def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
     Means are rounded to 1e-6 so the DuckDB oracle — whose aggregation
     order differs — reproduces the centroids bit-for-bit. Empty cells
     keep their previous centroid."""
+    # the fit reads the vector set once per iteration (assign + update)
+    # plus the final search — persist it for the fit's lifetime
+    emb = emb.persist()
     cent = emb.filter(F.col("vec_id") < _IVF_C).select(
         F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
     )
