@@ -61,8 +61,11 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFra
             F.transform(idx, lambda i: F.array_join(F.slice(ws, i + F.lit(1), F.lit(n)), " "))
         ).alias("shs"),
     ).persist()
-    # at most one corpus cached at a time: evict (and free) any other
+    # at most one corpus cached at a time: evict (and free) other
+    # shingle entries (simhash entries use n == -1 and evict separately)
     for old_key, old_df in list(_SHINGLE_CACHE.items()):
+        if old_key[2] == -1:
+            continue
         if old_key[0] == key[0]:  # same Spark app — safe to unpersist
             old_df.unpersist(blocking=False)
         del _SHINGLE_CACHE[old_key]
@@ -283,9 +286,19 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary shuffle on a 4-bit-×-band key."""
     # persisted: the signature aggregation (full corpus scan + 16-way
     # bit sums) feeds BOTH sides of the band self-join below; without the
-    # cache Spark recomputes it per join side. Reclaimed by the
-    # ContextCleaner once the plan is unreferenced.
-    sim = q_dedup_simhash(spark, sf_dir).persist()
+    # cache Spark recomputes it per join side. Module-level handle (same
+    # discipline as _SHINGLE_CACHE): repeated calls reuse one entry
+    # instead of registering a new persisted RDD per call.
+    key = (spark.sparkContext.applicationId, sf_dir, -1)
+    sim = _SHINGLE_CACHE.get(key)
+    if sim is None:
+        sim = q_dedup_simhash(spark, sf_dir).persist()
+        for old_key, old_df in list(_SHINGLE_CACHE.items()):
+            if old_key[2] == -1:  # evict only simhash entries
+                if old_key[0] == key[0]:
+                    old_df.unpersist(blocking=False)
+                del _SHINGLE_CACHE[old_key]
+        _SHINGLE_CACHE[key] = sim
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

@@ -25,6 +25,15 @@ def test_dedup_queries_share_one_cached_scan(spark):
     assert _n_persistent(spark) <= before
 
 
+def test_simhash_neardup_shares_one_cached_signature(spark):
+    from ner4cti_spark import dataprep_queries as D
+
+    D.q_simhash_neardup(spark, SF_DIR).count()
+    before = _n_persistent(spark)
+    D.q_simhash_neardup(spark, SF_DIR).count()
+    assert _n_persistent(spark) <= before
+
+
 def test_shingle_cache_evicts_on_corpus_switch(spark):
     from ner4cti_spark import dataprep_queries as D
 
