@@ -118,6 +118,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "graph_pagerank": (D.q_graph_pagerank, D.SQL_GRAPH_PAGERANK),
     # M12 Word2Vec training / multimodal / reference-corpus eval (rows-only)
     "word2vec_vectors": (D.q_word2vec_vectors, None),
+    # multimodal: metadata/binary plumbing hash-checked; feature values
+    # stay rows-only (numpy RNG codec stand-in is not SQL-expressible)
+    "media_metadata": (D.q_media_metadata, D.SQL_MEDIA_METADATA),
     "media_features": (D.q_media_features, None),
     "dnrti_eval": (D.q_dnrti_eval, None),
     "malwaredb_eval": (D.q_malwaredb_eval, None),

@@ -863,6 +863,39 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked slice of the multimodal path: the synthesized binary
+    media table's typed metadata + payload byte length, through the real
+    mapInPandas generation and binary column (operators/multimodal.py).
+    Every value is a pure function of media_id, so the DuckDB oracle
+    regenerates the table from generate_series — the binary-column
+    plumbing gets a value-level check while the (stubbed-codec) feature
+    extraction stays rows-only in media_features."""
+    from .operators.multimodal import synthesize_media
+
+    m = synthesize_media(spark, n=120)
+    return m.select(
+        "media_id", "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.fmt").alias("fmt"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+
+
+SQL_MEDIA_METADATA = """
+    SELECT mid AS media_id,
+           CASE mid % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(32 * (4 + mid % 5) AS BIGINT) AS n_bytes,
+           CASE mid % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS fmt,
+           CASE WHEN mid % 3 <> 1 THEN CAST(64 * (1 + mid % 4) AS INT) END AS width,
+           CASE WHEN mid % 3 <> 1 THEN CAST(64 * (1 + mid % 3) AS INT) END AS height,
+           CASE WHEN mid % 3 = 1 THEN CAST(16000 AS INT) END AS sample_rate
+    FROM UNNEST(generate_series(0, 119)) AS t(mid)
+"""
+
+
 # ----------------------- DNRTI reference-corpus evaluation (rows-only)
 
 _EVAL_SCHEMA = ("accuracy double, n_tokens long, weighted_f1 double, "
