@@ -100,10 +100,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_neardup": (D.q_simhash_neardup, D.SQL_SIMHASH_NEARDUP),
     "ngram_jaccard": (D.q_ngram_jaccard, D.SQL_NGRAM_JACCARD),
     "doc_fingerprint": (D.q_doc_fingerprint, D.SQL_DOC_FINGERPRINT),
-    # training-data pipeline: text analysis
+    # training-data pipeline: text analysis + sampling
     "lang_id": (D.q_lang_id, D.SQL_LANG_ID),
     "quality_score": (D.q_quality_score, D.SQL_QUALITY_SCORE),
     "token_stats": (D.q_token_stats, D.SQL_TOKEN_STATS),
+    "stratified_sample": (D.q_stratified_sample, D.SQL_STRATIFIED_SAMPLE),
+    "vocab_coverage": (D.q_vocab_coverage, D.SQL_VOCAB_COVERAGE),
     # similarity search
     "embedding_topk": (D.q_embedding_topk, D.SQL_EMBEDDING_TOPK),
     "embedding_lsh_buckets": (D.q_embedding_lsh_buckets, D.SQL_EMBEDDING_LSH_BUCKETS),

@@ -1287,6 +1287,95 @@ SQL_PER_SOURCE_ZSCORE = """
 """
 
 
+# ----------------------------------------- deterministic stratified sample
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic stratified sample — the reproducible
+    training-data downsampling primitive: keep a document iff the first
+    4 hex chars of md5(doc_id) fall under the per-source rate threshold.
+    Pure hash math (no RNG state), so the sample is stable across runs,
+    engines, and partitionings — resumable jobs re-derive the identical
+    subset. Rates: web 25%, wiki 75%, everything else 50%."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    rate = (
+        F.when(F.col("source") == "web", 0.25)
+        .when(F.col("source") == "wiki", 0.75)
+        .otherwise(0.50)
+    )
+    return (
+        docs.withColumn("hv", h)
+        .filter(F.col("hv") < rate * 65536)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+    WITH hashed AS (
+      SELECT source,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1)) - 1) * 4096 +
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),2,1)) - 1) * 256 +
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),3,1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),4,1)) - 1) AS hv
+      FROM documents
+    )
+    SELECT source, count(*) AS n_sampled
+    FROM hashed
+    WHERE hv < (CASE source WHEN 'web' THEN 0.25 WHEN 'wiki' THEN 0.75 ELSE 0.50 END) * 65536
+    GROUP BY source
+"""
+
+
+# -------------------------------------------- vocabulary coverage curve
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size planning curve: rank corpus words by frequency
+    and report, at vocab sizes 5/10/20/30 (the synthetic corpus has a
+    31-word template vocabulary; at real scale these are 1e4/1e5-style
+    cutoffs), what fraction of all token occurrences the top-k words
+    cover — the standard input to choosing a tokenizer/UNK budget. One
+    explode + one partial-agg + one window over the (vocabulary-sized)
+    distinct-word table; the global-order window is single-task but
+    runs over |vocab| rows, not the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", r"\s+")).alias("w")).filter(F.col("w") != "")
+    freq = toks.groupBy(F.lower("w").alias("word")).agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.desc("n"), F.asc("word"))
+    ranked = freq.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cum", F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    total = ranked.agg(F.sum("n").alias("t"))
+    return (
+        ranked.filter(F.col("rk").isin(5, 10, 20, 30))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rk").cast("long").alias("vocab_size"),
+            (F.floor(F.col("cum") / F.col("t") * 1e6 + 0.5) / 1e6).alias("coverage"),
+        )
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+    WITH toks AS (
+      SELECT lower(t.w) AS word FROM (
+        SELECT string_split_regex(text, '\\s+') AS ws FROM documents
+      ), LATERAL (SELECT UNNEST(ws) AS w) t WHERE t.w <> ''
+    ),
+    freq AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+    ranked AS (
+      SELECT word, n,
+             row_number() OVER (ORDER BY n DESC, word) AS rk,
+             sum(n) OVER (ORDER BY n DESC, word
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM freq
+    )
+    SELECT CAST(rk AS BIGINT) AS vocab_size,
+           floor(cum * 1.0 / (SELECT sum(n) FROM freq) * 1e6 + 0.5) / 1e6 AS coverage
+    FROM ranked WHERE rk IN (5, 10, 20, 30)
+"""
+
+
 # -------------------------------------------------- data-quality audit
 
 def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
