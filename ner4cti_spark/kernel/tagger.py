@@ -417,8 +417,11 @@ class TaggerKernel:
                         float(s2[j]) - allo > P.GATE_M_TAU
                     )
                     if gated and (p2[j, :n] != o_id).any():
-                        tags[b] = [self.ls.id2label[int(p2[j, t])]
-                                   for t in range(n)]
+                        attr_tags = [self.ls.id2label[int(p2[j, t])]
+                                     for t in range(n)]
+                        # span-level union: attr spans win, plus base
+                        # spans that don't overlap them (decode_sents ≡)
+                        tags[b] = P.merge_tag_spans(attr_tags, tags[b])
                         scores[b] = s2[j]
         return tags, (scores / np.maximum(lengths, 1)).astype(np.float32)
 
