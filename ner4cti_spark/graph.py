@@ -41,25 +41,41 @@ def link_mentions(mentions: DataFrame, entities: DataFrame,
 
 
 def build_triples(linked: DataFrame, entities: DataFrame) -> DataFrame:
-    """Union of predicate families, all distinct, with provenance."""
+    """Union of predicate families, all distinct, with provenance.
+
+    The three per-mention families (mentions / has_type / found_in_repo)
+    are emitted from ONE scan of the corpus-scale linked table via an
+    array-of-structs explode — three separate projections unioned would
+    make Spark recompute the mention↔alias join once per family (the
+    join output is not materialized), tripling the dominant read at
+    corpus scale. Only the per-sentence co-occurrence aggregation needs
+    a second pass (different shape: groupBy sentence)."""
     m = linked
-    mentions_t = m.select(
-        doc_uri().alias("subj"),
-        F.lit("mentions").alias("pred"),
-        F.col("canonical").alias("obj"),
-        "repo", "commit", "sha256",
+    fam = F.array(
+        F.struct(
+            doc_uri().alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.col("canonical").alias("obj"),
+        ),
+        F.struct(
+            F.col("canonical").alias("subj"),
+            F.lit("has_type").alias("pred"),
+            F.col("etype").alias("obj"),
+        ),
+        F.struct(
+            F.col("canonical").alias("subj"),
+            F.lit("found_in_repo").alias("pred"),
+            F.col("repo").alias("obj"),
+        ),
     )
-    has_type_t = m.select(
-        F.col("canonical").alias("subj"),
-        F.lit("has_type").alias("pred"),
-        F.col("etype").alias("obj"),
-        "repo", "commit", "sha256",
-    )
-    found_in_t = m.select(
-        F.col("canonical").alias("subj"),
-        F.lit("found_in_repo").alias("pred"),
-        F.col("repo").alias("obj"),
-        "repo", "commit", "sha256",
+    per_mention_t = (
+        m.select(F.explode(fam).alias("t"), "repo", "commit", "sha256")
+        .select(
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+            "repo", "commit", "sha256",
+        )
     )
     same_as_t = (
         entities.filter(F.col("alias") != F.col("canonical"))
@@ -104,9 +120,7 @@ def build_triples(linked: DataFrame, entities: DataFrame) -> DataFrame:
     )
     cols = ["subj", "pred", "obj", "repo", "commit", "sha256"]
     out = (
-        mentions_t.select(cols)
-        .unionByName(has_type_t.select(cols))
-        .unionByName(found_in_t.select(cols))
+        per_mention_t.select(cols)
         .unionByName(same_as_t.select(cols))
         .unionByName(cooc_t.select(cols))
         .dropDuplicates(["subj", "pred", "obj"])
