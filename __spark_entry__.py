@@ -19,13 +19,7 @@ from ner4cti_spark import entry_queries as Q
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: corpus scan → tag (mapInPandas + Viterbi) → link →
     canonicalize → triples."""
-    from ner4cti_spark.corpus import generate_corpus
-    from ner4cti_spark.pipeline import run_pipeline
-    from ner4cti_spark.session import ship_package
-
-    ship_package(spark)
-    corpus = generate_corpus(spark, n_docs=150)
-    return run_pipeline(spark, corpus)["triples"]
+    return _pipeline_out(spark)["triples"]
 
 
 def _cti_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,15 +31,29 @@ def _cti_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_pagerank(triples, n_iter=8)
 
 
+# One pipeline run shared across the four cti_* registry entries, keyed
+# by Spark appId (same discipline as dataprep_queries._SHINGLE_CACHE):
+# without it each entry re-runs the full tag→link→canonicalize pipeline
+# and the driver's correctness budget drops all four rows.
+_PIPELINE_CACHE: dict[str, dict[str, DataFrame]] = {}
+
+
+def _pipeline_out(spark: SparkSession) -> dict[str, DataFrame]:
+    from ner4cti_spark.corpus import generate_corpus
+    from ner4cti_spark.pipeline import run_pipeline
+    from ner4cti_spark.session import ship_package
+
+    key = spark.sparkContext.applicationId
+    if key not in _PIPELINE_CACHE:
+        ship_package(spark)
+        _PIPELINE_CACHE.clear()  # a new app invalidates old DataFrames
+        _PIPELINE_CACHE[key] = run_pipeline(spark, generate_corpus(spark, n_docs=150))
+    return _PIPELINE_CACHE[key]
+
+
 def _cti_query(which: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from ner4cti_spark.corpus import generate_corpus
-        from ner4cti_spark.pipeline import run_pipeline
-        from ner4cti_spark.session import ship_package
-
-        ship_package(spark)
-        out = run_pipeline(spark, generate_corpus(spark, n_docs=150))
-        return out[which]
+        return _pipeline_out(spark)[which]
 
     return run
 
@@ -124,13 +132,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # stay rows-only (numpy RNG codec stand-in is not SQL-expressible)
     "media_metadata": (D.q_media_metadata, D.SQL_MEDIA_METADATA),
     "media_features": (D.q_media_features, None),
-    "dnrti_eval": (D.q_dnrti_eval, None),
-    "malwaredb_eval": (D.q_malwaredb_eval, None),
-    # CTI pipeline (model kernels — non-SQL-expressible, rows-only checks)
+    # CTI pipeline (model kernels — non-SQL-expressible, rows-only
+    # checks). One run_pipeline shared via _PIPELINE_CACHE; ordered
+    # before the corpus evals (the slowest rows-only queries) so a
+    # driver-budget cutoff drops the expensive tail first.
     "cti_mentions": (_cti_query("mentions"), None),
     "cti_entities": (_cti_query("entities"), None),
     "cti_triples": (_cti_query("triples"), None),
     "cti_entity_pagerank": (_cti_pagerank, None),
+    "dnrti_eval": (D.q_dnrti_eval, None),
+    "malwaredb_eval": (D.q_malwaredb_eval, None),
 }
 
 

@@ -362,11 +362,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_NGRAM_KEEP_RAREST} rarest shingles, which always stay in the index
     — the df cut bounds the inverted-index join at O(df_max²) per hot
     shingle (the classic boilerplate-skew killer), while the per-doc
-    exemption guarantees every document keeps SOME index presence, so a
-    cluster of >df_max near-identical documents (whose shared shingles
-    are all hot) is still recovered: identical/near-identical docs rank
-    the same shingles rarest and collide on them. The quadratic output
-    for such a cluster is inherent — every pair genuinely qualifies.
+    exemption guarantees every document keeps SOME index presence.
+    Recovery scope of the exemption: docs whose shingle SETS are
+    identical (or rank-stable: the same shingles sort rarest in both)
+    collide on their kept rarest shingles; near-identical docs in a
+    >df_max hot cluster that each hold ≥{_NGRAM_KEEP_RAREST} distinct
+    df=1 shingles keep disjoint sets and can still be missed — a
+    bounded recall tradeoff inherent to any df-capped index (raise
+    _NGRAM_KEEP_RAREST to widen it). The quadratic output for a
+    recovered cluster is inherent — every pair genuinely qualifies.
     (2) the Jaccard itself is re-scored exactly on the carried shingle
     arrays (array_intersect), so the cuts affect candidate RECALL only,
     never a reported score."""
@@ -1069,10 +1073,23 @@ SQL_EMBEDDING_NEARDUP_PLANTED = f"""
 
 # ------------------------------------------------ IVF similarity search
 
-_IVF_C = 16      # coarse-quantizer cells
 _IVF_NPROBE = 4  # cells probed per query
 _IVF_TOPK = 5
-_IVF_ITERS = 3   # Lloyd iterations of the coarse-quantizer fit
+_IVF_ITERS = 3   # Lloyd iterations of the coarse-quantizer fit; grows
+#                  with corpus size in a real deployment (config knob —
+#                  the SQL oracle unrolls however many this says)
+_IVF_C_MIN = 8   # floor on coarse cells for tiny corpora
+
+
+def _ivf_c(n: int) -> int:
+    """Coarse-cell count C = max(_IVF_C_MIN, round(sqrt(n))) — the
+    standard IVF sizing rule (posting lists stay O(sqrt(n)), so probe
+    cost is O(nprobe·sqrt(n)) instead of O(n)). Mirrored exactly by the
+    cfg CTE in _ivf_sql so both engines derive the same C from the
+    data; floor(sqrt+0.5) is the tie-stable rounding both share."""
+    import math
+
+    return max(_IVF_C_MIN, int(math.floor(math.sqrt(n) + 0.5)))
 
 _COS = """(list_dot_product({a}, {b})
            / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"""
@@ -1092,7 +1109,7 @@ def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
+def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame, c: int) -> DataFrame:
     """Deterministic distributed Lloyd fit of the coarse quantizer:
     init = the C lowest-vec_id vectors (a fixed seed, so both engines
     start identically), then {_IVF_ITERS} iterations of {assign each
@@ -1103,11 +1120,9 @@ def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame) -> DataFrame:
     the driver, assignment and the update aggregation are distributed).
     Means are rounded to 1e-6 so the DuckDB oracle — whose aggregation
     order differs — reproduces the centroids bit-for-bit. Empty cells
-    keep their previous centroid."""
-    # the fit reads the vector set once per iteration (assign + update)
-    # plus the final search — persist it for the fit's lifetime
-    emb = emb.persist()
-    cent = emb.filter(F.col("vec_id") < _IVF_C).select(
+    keep their previous centroid. The caller persists emb for the
+    fit's lifetime (and unpersists it — no per-call cache leak)."""
+    cent = emb.filter(F.col("vec_id") < c).select(
         F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
     )
     for _ in range(_IVF_ITERS):
@@ -1146,10 +1161,16 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cent = _ivf_fit_centroids(spark, emb)
+    # persist for the Lloyd fit's lifetime only: the count below both
+    # derives C and materializes the cache; the fit collects eagerly
+    # each iteration, so by unpersist time every cached read is done
+    emb = emb.persist()
+    c = _ivf_c(emb.count())
+    cent = _ivf_fit_centroids(spark, emb, c)
+    emb.unpersist()
     assign = _ivf_assign(emb, cent)
     queries = emb.filter(
-        (F.col("vec_id") >= _IVF_C) & (F.col("vec_id") < _IVF_C + 4)
+        (F.col("vec_id") >= c) & (F.col("vec_id") < c + 4)
     ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("q"))
     sim_qc = _cosine(F.col("q"), F.col("c"))
     w_q = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cent_id"))
@@ -1185,7 +1206,11 @@ def _ivf_sql() -> str:
     previous centroid)."""
     ctes = [
         "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
-        f"cent0 AS (SELECT vec_id AS cent_id, e AS c FROM emb WHERE vec_id < {_IVF_C})",
+        # C derived from the data exactly as _ivf_c does — the SQL text
+        # stays static while C scales with the table
+        f"cfg AS (SELECT greatest({_IVF_C_MIN}, "
+        "CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) AS nc FROM emb)",
+        "cent0 AS (SELECT vec_id AS cent_id, e AS c FROM emb, cfg WHERE vec_id < cfg.nc)",
     ]
     for i in range(_IVF_ITERS):
         cos = _COS.format(a="emb.e", b=f"cent{i}.c")
@@ -1221,8 +1246,8 @@ def _ivf_sql() -> str:
         FROM emb CROSS JOIN cent
       ) WHERE rk = 1
     ),
-    queries AS (SELECT vec_id AS query_id, e AS q FROM emb
-                WHERE vec_id >= {_IVF_C} AND vec_id < {_IVF_C + 4}),
+    queries AS (SELECT vec_id AS query_id, e AS q FROM emb, cfg
+                WHERE vec_id >= cfg.nc AND vec_id < cfg.nc + 4),
     probes AS (
       SELECT query_id, cent_id FROM (
         SELECT q.query_id, cent.cent_id,

@@ -133,9 +133,12 @@ def word_clusters(spark: SparkSession, corpus: str, *, dim: int = 50,
                   k_coarse: int = 64, k_fine: int = 512,
                   seed: int = 42) -> dict[str, tuple[int, int]]:
     """Semi-supervised word-cluster features: Word2Vec on the corpus's
-    unlabeled train+valid text (the reference trains its own word2vec the
-    same way — wod2vec_embedding.py:27-47, shipped at Result/Embedding/
-    word_embedding.npy), then two k-means granularities over the vectors.
+    unlabeled train+valid+TEST text (the reference's exact scope —
+    data_processing.py:31 all_sentences; wod2vec_embedding.py:27-47
+    ships it at Result/Embedding/word_embedding.npy), then two k-means
+    granularities over the vectors. Note the transductive dependency:
+    test-split TEXT (never labels) joins the unsupervised fit, so eval
+    F1 gates downstream reflect that reference-parity setting.
     Cluster ids are Brown-cluster-style CRF features: evidence learned on
     'loading' transfers to a cluster-sibling like 'dropping' even when the
     word never appears labeled. Fully seeded → deterministic artifact."""

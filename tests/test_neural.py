@@ -1,0 +1,127 @@
+"""Neural emission branch (kernel/neural.py): the trainer's forward must
+equal the SHIPPED eval kernel (nn.lstm_layer), and the hand-written BPTT
+must match finite differences — the two invariants that make "we trained
+the existing numpy kernel" true rather than aspirational."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ner4cti_spark.kernel import neural
+from ner4cti_spark.kernel.nn import lstm_layer
+
+
+def _rand_weights(din, hidden, n_labels, seed=3):
+    rng = np.random.default_rng(seed)
+    w = neural.init_weights(din, hidden, n_labels, seed)
+    # perturb away from the symmetric init (incl. nonzero biases)
+    for k in w:
+        w[k] = (w[k] + rng.normal(0, 0.1, w[k].shape)).astype(np.float32)
+    return w
+
+
+def test_cached_forward_matches_shipped_kernel():
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (3, 7, 11)).astype(np.float32)
+    w = _rand_weights(11, 5, 4)
+    for rev in (False, True):
+        ref = lstm_layer(x, w["lstm0_fw_wx"], w["lstm0_fw_wh"], w["lstm0_fw_b"],
+                         reverse=rev)
+        got, _ = neural._lstm_forward_cached(
+            x, w["lstm0_fw_wx"], w["lstm0_fw_wh"], w["lstm0_fw_b"], reverse=rev)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_logits_uses_same_recurrence():
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (2, 5, 9)).astype(np.float32)
+    w = _rand_weights(9, 4, 6)
+    eval_logits = neural.forward_logits(x, w)
+    train_logits, _ = neural._forward_train(x, w)
+    np.testing.assert_allclose(train_logits, eval_logits, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("key", [
+    "em_w", "em_b",
+    "lstm0_fw_wx", "lstm0_fw_wh", "lstm0_fw_b",
+    "lstm0_bw_wx", "lstm0_bw_wh", "lstm0_bw_b",
+])
+def test_bptt_matches_finite_differences(key):
+    """Central finite differences on a tiny model, in float64 via the
+    float32 kernels — tolerances sized for fp32 forward noise."""
+    rng = np.random.default_rng(7)
+    B, T, D, H, L = 2, 4, 6, 3, 5
+    x = rng.normal(0, 1, (B, T, D)).astype(np.float32)
+    gold = rng.integers(0, L, (B, T))
+    tok_w = np.where(gold != 0, 2.0, 1.0)
+    w = _rand_weights(D, H, L, seed=11)
+
+    def loss_of(wd):
+        logits, _ = neural._forward_train(x, wd)
+        loss, _ = neural._softmax_ce_grad(logits, gold, tok_w)
+        return loss
+
+    logits, cache = neural._forward_train(x, w)
+    _, dl = neural._softmax_ce_grad(logits, gold, tok_w)
+    grads = neural._backward_train(dl, w, cache)
+
+    g = grads[key]
+    flat_idx = [tuple(i) for i in np.ndindex(*w[key].shape)]
+    rng.shuffle(flat_idx)
+    eps = 1e-2
+    expect = min(12, len(flat_idx))
+    checked = 0
+    for idx in flat_idx[:expect]:
+        orig = w[key][idx]
+        w[key][idx] = orig + eps
+        lp = loss_of(w)
+        w[key][idx] = orig - eps
+        lm = loss_of(w)
+        w[key][idx] = orig
+        num = (lp - lm) / (2 * eps)
+        ana = float(g[idx])
+        assert abs(num - ana) <= 2e-3 + 0.05 * max(abs(num), abs(ana)), (
+            key, idx, num, ana)
+        checked += 1
+    assert checked == expect
+
+
+def test_training_reduces_loss_and_fits_toy_pattern():
+    """A separable toy tagset (label decided by embedding direction +
+    one contextual rule) must be learned to high accuracy — exercises
+    the full train loop incl. exact-length bucketing."""
+    rng = np.random.default_rng(42)
+    V, Ddim, L = 40, 8, 3
+    emb_mat = np.zeros((V + 1, Ddim), dtype=np.float32)
+    emb_mat[1:] = rng.normal(0, 1, (V, Ddim))
+    # class of a word = its id mod 3; label = class of PREVIOUS word
+    # (forces use of the recurrent state, not just the local input)
+    data = []
+    for _ in range(300):
+        ln = int(rng.integers(3, 9))
+        wid = rng.integers(1, V + 1, ln)
+        cas = np.zeros(ln, dtype=np.int64)
+        gold = np.empty(ln, dtype=np.int64)
+        gold[0] = 0
+        gold[1:] = wid[:-1] % 3
+        data.append((wid, cas, gold))
+    w, losses = neural.train_bilstm(
+        data, emb_mat, n_labels=L, o_id=0, hidden=16, epochs=30, lr=1e-2,
+        seed=1)
+    assert losses[-1] < losses[0] * 0.2, losses
+    correct = total = 0
+    for wid, cas, gold in data[:50]:
+        x = neural.input_features(wid[None], cas[None], emb_mat)
+        pred = neural.forward_logits(x, w)[0].argmax(axis=-1)
+        correct += int((pred[1:] == gold[1:]).sum())
+        total += len(gold) - 1
+    assert correct / total > 0.9, correct / total
+
+
+def test_sent_ids_lowercase_fallback():
+    lookup = {"apt28": 3, "Malware": 7, "malware": 4}
+    ids = neural.sent_ids(["APT28", "Malware", "MALWARE", "zzz"],
+                          {**lookup, "apt28": 3})
+    # APT28 → lowercase fallback; Malware exact; MALWARE → lowercase; OOV → 0
+    assert list(ids) == [3, 7, 4, 0]

@@ -164,7 +164,10 @@ def test_malwaredb_trained_quality_gate(spark):
     MalwareTextDB paper's CRF baselines and most SemEval-2018 Task 8
     systems land in the 0.2-0.45 band; the reference's BERT branch is
     what pushes higher, and its checkpoints/torch are absent from this
-    env. The two-pass sits in the band's upper half."""
+    env. The two-pass sits in the band's upper half. Note: the
+    word-cluster features come from a Word2Vec fit on train+valid+test
+    TEXT (reference parity, data_processing.py:31 — transductive), so
+    this gate depends on test text in the unsupervised fit."""
     from ner4cti_spark.dataprep_queries import q_malwaredb_eval
 
     row = q_malwaredb_eval(spark, "").collect()[0]

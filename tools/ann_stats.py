@@ -62,12 +62,14 @@ def ivf_section(sf_dir: str) -> str:
     """IVF posting-list balance after the deterministic Lloyd fit — cell
     skew decides per-probe work; a hot cell is the IVF analog of a hot
     LSH bucket."""
-    from ner4cti_spark.dataprep_queries import _IVF_C, _IVF_ITERS, _ivf_sql
+    from ner4cti_spark.dataprep_queries import _IVF_ITERS, _ivf_c, _ivf_sql
 
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
     )
+    n_vecs = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    ivf_c = _ivf_c(n_vecs)
     sql = _ivf_sql()
     head = sql[: sql.index("queries AS")].rstrip().rstrip(",")
     stats = con.execute(f"""
@@ -81,11 +83,13 @@ def ivf_section(sf_dir: str) -> str:
     return f"""
 ## IVF posting-list balance ({sf_dir})
 
-{_IVF_C} cells, {_IVF_ITERS} Lloyd iterations (deterministic lowest-id
-seeds): {n_cells} non-empty cells, occupancy min {mn} / avg {avg} /
+C = max(8, round(sqrt(n))) = {ivf_c} cells over {n_vecs} vectors,
+{_IVF_ITERS} Lloyd iterations (deterministic lowest-id seeds):
+{n_cells} non-empty cells, occupancy min {mn} / avg {avg} /
 max {mx} (skew max/avg {skew}). Per-query scored fraction = nprobe/C of
-the corpus weighted by cell sizes; at corpus scale C grows with sqrt(n)
-and the fit swaps to more Lloyd rounds — the plan (broadcast centroids,
+the corpus weighted by cell sizes; C is derived from the data in both
+engines (cfg CTE mirrors _ivf_c), so posting lists stay O(sqrt(n)); at
+corpus scale the fit adds Lloyd rounds — the plan (broadcast centroids,
 map-side assign, partial-agg update) is unchanged.
 """
 
@@ -93,7 +97,12 @@ map-side assign, partial-agg update) is unchanged.
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # IVF skew at sf0.01 AND sf0.1 — C is data-derived, so the balance
+    # must be shown to hold at more than one scale
     section = ann_section(sf_dir) + ivf_section(sf_dir)
+    small = sf_dir.replace("sf0.1", "sf0.01")
+    if small != sf_dir and os.path.exists(small):
+        section += ivf_section(small)
     existing = ""
     if os.path.exists(path):
         existing = open(path).read()
