@@ -287,3 +287,88 @@ def log_softmax(logits: np.ndarray) -> np.ndarray:
     m = logits.max(axis=-1, keepdims=True)
     z = logits - m
     return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+
+
+# ----------------------------------------- artifact-bundle integration
+#
+# The trained branch ships inside the sparse-CRF artifact as "nn_*"
+# arrays (perceptron.save_artifact): dense BiLSTM + head weights, the
+# embedding table + vocab, and nn_cfg = [mode, lam] where mode 1 =
+# score fusion (emissions += lam*log-softmax) and mode 2 = stacked
+# prediction features (_sent_features extra columns). Both decode paths
+# (perceptron.decode_sents driver-side, TaggerKernel._tag_chunk_trained
+# executor-side) resolve the branch through these helpers, so the
+# fusion semantics cannot drift between them.
+
+MODE_OFF, MODE_SCORE, MODE_STACK = 0, 1, 2
+
+_MARGIN_EDGES = (1.0, 2.0, 4.0, 8.0)
+
+
+def emb_from_arts(arts: dict) -> tuple[np.ndarray, dict[str, int]] | None:
+    """(emb matrix, word→row lookup) when the bundle ships the embedding
+    table — needed by the dense attribution-classifier block even when
+    the emission branch itself is off."""
+    if "nn_emb" not in arts or "nn_words" not in arts:
+        return None
+    emb = np.asarray(arts["nn_emb"], dtype=np.float32)
+    lookup = {str(t): i + 1 for i, t in enumerate(arts["nn_words"])}
+    return emb, lookup
+
+
+def branch_from_arts(arts: dict) -> tuple[dict, np.ndarray, dict[str, int], int, float] | None:
+    """(weights, emb, lookup, mode, lam) from an artifact bundle, or
+    None when no trained neural branch is present."""
+    if "nn_cfg" not in arts:
+        return None
+    cfg = np.asarray(arts["nn_cfg"], dtype=np.float64)
+    mode = int(cfg[0])
+    if mode == MODE_OFF:
+        return None
+    w = {
+        k[3:]: np.asarray(arts[k], dtype=np.float32)
+        for k in arts
+        if k.startswith("nn_lstm") or k in ("nn_em_w", "nn_em_b")
+    }
+    pair = emb_from_arts(arts)
+    if pair is None:
+        return None
+    emb, lookup = pair
+    return w, emb, lookup, mode, float(cfg[1])
+
+
+def sent_logits(tokens: list[str], w: dict, emb: np.ndarray,
+                lookup: dict[str, int]) -> np.ndarray:
+    """(T, L) logits for one sentence through the shipped eval kernel."""
+    from .tagger import casing_class
+
+    wid = sent_ids(tokens, lookup)
+    cas = np.array([casing_class(t) for t in tokens], dtype=np.int64)
+    x = input_features(wid[None], cas[None], emb)
+    return forward_logits(x, w)[0]
+
+
+def stack_extra(logits: np.ndarray, id2label: dict[int, str]
+                ) -> list[tuple[str, str, str, str]]:
+    """Stacked feature strings for one sentence (mode 2): branch argmax
+    at t, t±1, and argmax×top1-top2-margin bucket — the discrete
+    interface through which the CRF learns when to trust the branch
+    (the learned analog of the reference's gate fusion,
+    model.py:455-465)."""
+    T = logits.shape[0]
+    labs = [id2label[int(i)] for i in logits.argmax(axis=-1)]
+    if logits.shape[1] > 1:
+        srt = np.sort(logits, axis=-1)
+        marg = srt[:, -1] - srt[:, -2]
+    else:
+        marg = np.zeros(T)
+    mb = np.searchsorted(_MARGIN_EDGES, marg)
+    out = []
+    for t in range(T):
+        out.append((
+            "nn0=" + labs[t],
+            "nn-1=" + (labs[t - 1] if t else "<s>"),
+            "nn+1=" + (labs[t + 1] if t + 1 < T else "</s>"),
+            "nnm=%s_%d" % (labs[t], mb[t]),
+        ))
+    return out

@@ -99,10 +99,15 @@ def lexicon_bio(sent: list[str], phrases: dict, max_phrase: int) -> list[str]:
 
 def _sent_features(tokens: list[str], phrases: dict, max_phrase: int,
                    use_patterns: bool, buckets: int,
-                   clusters: dict | None = None) -> np.ndarray:
+                   clusters: dict | None = None,
+                   extra: list[tuple[str, ...]] | None = None) -> np.ndarray:
     """(T, K) int32 hashed feature ids. Pure function of the sentence +
     lexicon (+ optional word-cluster map) — identical on driver and
-    executors.
+    executors. `extra` optionally appends per-token feature strings
+    (len == len(tokens), equal tuple widths) — the stacking hook for
+    the trained neural emission branch (kernel/neural.py): its
+    predictions enter as features the CRF learns to weigh, the learned
+    analog of the reference's gate fusion (model.py:455-465).
 
     `clusters` maps lowercased word → (coarse, fine) k-means cluster ids
     over corpus-trained Word2Vec vectors (training.word_clusters) — the
@@ -132,7 +137,8 @@ def _sent_features(tokens: list[str], phrases: dict, max_phrase: int,
     # to see sentence-scope signal, not just the local window.
     slex = "slex=" + (",".join(sorted({t[2:] for t in lex if t != "O"})) or "-")
     nlex = "nlex=%d" % min(sum(t.startswith("B-") for t in lex), 5)
-    out = np.empty((T, N_TEMPLATES), dtype=np.int64)
+    n_extra = len(extra[0]) if extra and len(extra) and len(extra[0]) else 0
+    out = np.empty((T, N_TEMPLATES + n_extra), dtype=np.int64)
     for i in range(T):
         lw = lows[i + 2]
         fs = (
@@ -167,6 +173,8 @@ def _sent_features(tokens: list[str], phrases: dict, max_phrase: int,
             "dw0=" + _digit_norm(lw),
             "sh-1=" + (_shape(tokens[i - 1]) if i else "<s>"),
         )
+        if n_extra:
+            fs = fs + tuple(extra[i])
         for k, f in enumerate(fs):
             out[i, k] = zlib.crc32(f.encode("utf-8"))
     return (out % buckets).astype(np.int32)
@@ -218,32 +226,65 @@ def clf_features(tokens: list[str], phrases: dict, max_phrase: int,
     )
 
 
+def sent_mean_emb(tokens: list[str], lookup: dict[str, int],
+                  emb: np.ndarray) -> np.ndarray:
+    """Dense sentence feature for the attribution classifier: mean of
+    the (unit-normalized) corpus-Word2Vec rows of in-vocab tokens —
+    the continuous semantic signal the discrete clf features lack."""
+    if not tokens:
+        return np.zeros(emb.shape[1], dtype=np.float64)
+    ids = np.array([lookup.get(t) or lookup.get(t.lower(), 0) for t in tokens],
+                   dtype=np.int64)
+    hit = ids[ids > 0]
+    if not len(hit):
+        return np.zeros(emb.shape[1], dtype=np.float64)
+    return emb[hit].mean(axis=0).astype(np.float64)
+
+
 def train_sentence_clf(sents: list[tuple[list[str], list[str]]], phrases: dict,
                        *, clusters: dict | None = None, epochs: int = 15,
-                       seed: int = 7, tau: float = 1.0, pos_w: float = 3.0
-                       ) -> np.ndarray:
+                       seed: int = 7, tau: float = 1.0, pos_w: float = 3.0,
+                       dense: list[np.ndarray] | None = None
+                       ) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Averaged margin perceptron over clf_features; label = sentence has
     any non-O gold tag. `pos_w` upweights positive updates (downstream
-    span recall depends on gate recall more than gate precision)."""
+    span recall depends on gate recall more than gate precision).
+    `dense` optionally adds a per-sentence real-valued feature block
+    (sent_mean_emb) with its own averaged weight vector — returns
+    (sparse_w, dense_w) in that case; gate score = w[f].sum() + wd·d."""
     max_phrase = max((len(k) for k in phrases), default=1)
     w = np.zeros(CLF_BUCKETS, dtype=np.float64)
     wa = np.zeros(CLF_BUCKETS, dtype=np.float64)
     rng = np.random.default_rng(seed)
+    kept = [(list(t), g) for t, g in sents if t]
     feats = [
-        (clf_features(list(t), phrases, max_phrase, clusters),
+        (clf_features(t, phrases, max_phrase, clusters),
          1.0 if any(x != "O" for x in g) else -1.0)
-        for t, g in sents if t
+        for t, g in kept
     ]
+    if dense is not None:
+        dense = [d for (t, _g), d in zip(sents, dense) if t]
+        assert len(dense) == len(feats)
+        dd = len(dense[0])
+        wd = np.zeros(dd, dtype=np.float64)
+        wda = np.zeros(dd, dtype=np.float64)
     t_step = 0
     for _ in range(epochs):
         for i in rng.permutation(len(feats)):
             f, y = feats[i]
             t_step += 1
-            if y * w[f].sum() < tau:
+            score = w[f].sum() + (wd @ dense[i] if dense is not None else 0.0)
+            if y * score < tau:
                 step = y * (pos_w if y > 0 else 1.0)
                 w[f] += step
                 wa[f] += step * t_step
-    return (w - wa / max(t_step, 1)).astype(np.float32)
+                if dense is not None:
+                    wd += step * dense[i]
+                    wda += step * t_step * dense[i]
+    w_out = (w - wa / max(t_step, 1)).astype(np.float32)
+    if dense is not None:
+        return w_out, (wd - wda / max(t_step, 1)).astype(np.float32)
+    return w_out
 
 
 # gate: attributed iff clf > GATE_C_HI, or clf > GATE_C_LO and the attr
@@ -318,7 +359,10 @@ def _decode_masks(ls: LabelSpace) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 def decode_sents(sents: list[list[str]], arts: dict, ls: LabelSpace,
                  phrases: dict, use_patterns: bool,
-                 clusters: dict | None = None) -> list[list[str]]:
+                 clusters: dict | None = None,
+                 extras: list[list[tuple[str, ...]]] | None = None,
+                 clf_dense_scores: list[float] | None = None
+                 ) -> list[list[str]]:
     """Decode with trained weights (driver-side helper; the distributed
     path lives in TaggerKernel._tag_chunk). With a two-pass bundle
     ("sp2_w"/"clf_w" present) each sentence is gated by the attribution
@@ -326,29 +370,54 @@ def decode_sents(sents: list[list[str]], arts: dict, ls: LabelSpace,
     attributed-trained decode, everything else — including gated
     sentences whose attr decode is all-O — falls back to the full-split
     model. Semantics identical to TaggerKernel._tag_chunk_trained."""
+    from . import neural
+
     W, TR = arts["sp_w"], arts["sp_trans"]
     buckets = W.shape[0]
     mask, em_mask, first_mask = _decode_masks(ls)
     max_phrase = max((len(k) for k in phrases), default=1)
     two = "sp2_w" in arts and "clf_w" in arts
+    nb = neural.branch_from_arts(arts)
     o_id = ls.o_id
     out = []
-    for sent in sents:
+    for si, sent in enumerate(sents):
         if not sent:
             out.append([])
             continue
         sent_t = sent[:MAX_LEN]
-        feats = _sent_features(sent_t, phrases, max_phrase, use_patterns, buckets, clusters)
+        ex = extras[si][:MAX_LEN] if extras is not None else None
+        nn_add = None
+        if nb is not None:
+            nw, nemb, nlook, nmode, nlam = nb
+            lg = neural.sent_logits(sent_t, nw, nemb, nlook)
+            if nmode == neural.MODE_STACK and ex is None:
+                ex = neural.stack_extra(lg, ls.id2label)
+            elif nmode == neural.MODE_SCORE:
+                nn_add = (nlam * neural.log_softmax(
+                    lg.astype(np.float64))).astype(np.float32)
+        feats = _sent_features(sent_t, phrases, max_phrase, use_patterns,
+                               buckets, clusters, extra=ex)
         e = W[feats].sum(axis=1) + em_mask
+        if nn_add is not None:
+            e = e + nn_add
         e[0] += first_mask
         p, _ = viterbi_decode(e[None], TR + mask, np.array([len(sent_t)]))
         tags = [ls.id2label[int(i)] for i in p[0][: len(sent_t)]]
         if two:
             c = float(arts["clf_w"][
                 clf_features(sent_t, phrases, max_phrase, clusters)].sum())
+            if clf_dense_scores is not None:
+                c += float(clf_dense_scores[si])
+            elif "clf_dw" in arts:
+                pair = neural.emb_from_arts(arts)
+                if pair is not None:
+                    c += float(arts["clf_dw"] @ sent_mean_emb(
+                        sent_t, pair[1], pair[0]))
             if c > GATE_C_LO:
                 TR2m = arts["sp2_trans"] + mask
                 e2 = arts["sp2_w"][feats].sum(axis=1) + em_mask
+                if nn_add is not None:
+                    e2 = e2 + nn_add
                 e2[0] += first_mask
                 p2, s2 = viterbi_decode(e2[None], TR2m, np.array([len(sent_t)]))
                 allo = e2[:, o_id].sum() + (len(sent_t) - 1) * TR2m[o_id, o_id]
@@ -364,11 +433,12 @@ def decode_sents(sents: list[list[str]], arts: dict, ls: LabelSpace,
 
 def _prep(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
           phrases: dict, use_patterns: bool, buckets: int,
-          clusters: dict | None = None
+          clusters: dict | None = None,
+          extras: list[list[tuple[str, ...]]] | None = None
           ) -> list[tuple[np.ndarray, np.ndarray]]:
     max_phrase = max((len(k) for k in phrases), default=1)
     data = []
-    for tokens, tags in sents:
+    for si, (tokens, tags) in enumerate(sents):
         if not tokens:
             continue
         tokens, tags = list(tokens)[:MAX_LEN], list(tags)[:MAX_LEN]
@@ -376,7 +446,9 @@ def _prep(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
             [ls.label2id.get(t, ls.o_id) for t in repair_bio(tags)],
             dtype=np.int32,
         )
-        feats = _sent_features(tokens, phrases, max_phrase, use_patterns, buckets, clusters)
+        ex = extras[si][:MAX_LEN] if extras is not None else None
+        feats = _sent_features(tokens, phrases, max_phrase, use_patterns,
+                               buckets, clusters, extra=ex)
         data.append((feats, gold))
     return data
 
@@ -413,7 +485,9 @@ def _train_epochs(data, ls: LabelSpace, buckets: int, epochs: int, seed: int,
     rng = np.random.default_rng(seed)
     t = 0
     tr_t = 0
-    K = N_TEMPLATES
+    # template count from the data, not the constant — stacked extra
+    # features (kernel/neural.py predictions) widen the feature rows
+    K = data[0][0].shape[1] if data else N_TEMPLATES
     epoch_errors: list[float] = []
     for _ep in range(epochs):
         ep_err = 0
@@ -466,11 +540,17 @@ def train_crf(sents: list[tuple[list[str], list[str]]], ls: LabelSpace,
               phrases: dict, *, epochs: int = 8, seed: int = 13,
               buckets: int = N_BUCKETS, use_patterns: bool = True,
               cost: float = 1.0, miss_cost: float = 2.0,
-              clusters: dict | None = None
+              clusters: dict | None = None,
+              extras: list[list[tuple[str, ...]]] | None = None
               ) -> dict[str, np.ndarray]:
     """Driver-local averaged perceptron fit → trained-weight arrays
-    ("sp_*" keys merge into the kernel weight bundle)."""
-    data = _prep(sents, ls, phrases, use_patterns, buckets, clusters)
+    ("sp_*" keys merge into the kernel weight bundle). `extras` =
+    per-sentence per-token stacked feature strings (see _sent_features);
+    for the neural-stacking configuration these must be JACKKNIFED
+    predictions on the training split (a model predicting its own
+    training data would make the stacked feature near-oracle and the
+    CRF would over-trust it)."""
+    data = _prep(sents, ls, phrases, use_patterns, buckets, clusters, extras)
     W, TR, errs = _train_epochs(data, ls, buckets, epochs, seed,
                                 cost=cost, miss_cost=miss_cost)
     return {
@@ -592,6 +672,15 @@ def save_artifact(path: str, arts: dict[str, np.ndarray],
             sp2_trans=arts["sp2_trans"],
             clf_idx=cw["idx"], clf_val=cw["val"], clf_shape=cw["shape"],
         )
+        if "clf_dw" in arts:
+            payload["clf_dw"] = arts["clf_dw"]
+    # trained neural emission branch (kernel/neural.py): dense BiLSTM +
+    # head weights, the embedding table, its vocab, and the fusion config
+    for k, v in arts.items():
+        if k.startswith("nn_") and k != "nn_words":
+            payload[k] = v
+    if "nn_words" in arts:
+        payload["nn_words"] = np.array(arts["nn_words"], dtype=object)
     np.savez_compressed(
         path,
         sp_trans=arts["sp_trans"],
@@ -622,6 +711,11 @@ def load_artifact(path: str) -> tuple[dict[str, np.ndarray], dict, list[str]]:
         arts["sp2_w"] = _densify(z["sp2_idx"], z["sp2_val"], z["sp2_shape"])
         arts["sp2_trans"] = z["sp2_trans"]
         arts["clf_w"] = _densify(z["clf_idx"], z["clf_val"], z["clf_shape"])
+        if "clf_dw" in z.files:
+            arts["clf_dw"] = z["clf_dw"]
+    for k in z.files:
+        if k.startswith("nn_"):
+            arts[k] = z[k] if k != "nn_words" else [str(w) for w in z[k]]
     phrases = {
         tuple(k.split(" ")): (e, c)
         for k, e, c in zip(z["lex_keys"], z["lex_etype"], z["lex_canon"])

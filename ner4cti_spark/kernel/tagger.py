@@ -360,6 +360,7 @@ class TaggerKernel:
         including gated sentences whose attr decode is all-O — falls
         back to the full-split model. Semantics identical to
         perceptron.decode_sents (parity-tested)."""
+        from . import neural
         from . import perceptron as P
 
         W = self.w["sp_w"]
@@ -367,18 +368,31 @@ class TaggerKernel:
         use_patterns = bool(self.w["_sp_meta"][1]) if "_sp_meta" in self.w else self.use_patterns
         clusters = self.w.get("_sp_clusters")
         mask_t, em_mask, first_mask = P._decode_masks(self.ls)
+        nb = neural.branch_from_arts(self.w)
         B = len(sents)
         feats_by_sent: list[np.ndarray | None] = [None] * B
+        nn_add_by_sent: list[np.ndarray | None] = [None] * B
         em = np.zeros((B, T, L), dtype=np.float32)
         em += em_mask[None, None, :]
         for b, sent in enumerate(sents):
             n = int(lengths[b])
             if n == 0:
                 continue
+            ex = None
+            if nb is not None:
+                nw, nemb, nlook, nmode, nlam = nb
+                lg = neural.sent_logits(sent[:n], nw, nemb, nlook)
+                if nmode == neural.MODE_STACK:
+                    ex = neural.stack_extra(lg, self.ls.id2label)
+                elif nmode == neural.MODE_SCORE:
+                    nn_add_by_sent[b] = (nlam * neural.log_softmax(
+                        lg.astype(np.float64))).astype(np.float32)
             feats = P._sent_features(sent[:n], self.phrases, self.max_phrase,
-                                     use_patterns, buckets, clusters)
+                                     use_patterns, buckets, clusters, extra=ex)
             feats_by_sent[b] = feats
             em[b, :n, :] = W[feats].sum(axis=1) + em_mask
+            if nn_add_by_sent[b] is not None:
+                em[b, :n, :] += nn_add_by_sent[b]
             em[b, 0, :] += first_mask
         paths, scores = viterbi_decode(em, self.w["sp_trans"] + mask_t, lengths)
         tags = [
@@ -393,12 +407,17 @@ class TaggerKernel:
             # classifier pass: candidates = sentences above the low bar
             cand = []
             cscores = np.zeros(B)
+            emb_pair = (neural.emb_from_arts(self.w)
+                        if "clf_dw" in self.w else None)
             for b, sent in enumerate(sents):
                 n = int(lengths[b])
                 if n == 0:
                     continue
                 c = float(CW[P.clf_features(sent[:n], self.phrases,
                                             self.max_phrase, clusters)].sum())
+                if emb_pair is not None:
+                    c += float(self.w["clf_dw"] @ P.sent_mean_emb(
+                        sent[:n], emb_pair[1], emb_pair[0]))
                 cscores[b] = c
                 if c > P.GATE_C_LO:
                     cand.append(b)
@@ -408,6 +427,8 @@ class TaggerKernel:
                 for j, b in enumerate(cand):
                     n = int(lengths[b])
                     em2[j, :n, :] = W2[feats_by_sent[b]].sum(axis=1) + em_mask
+                    if nn_add_by_sent[b] is not None:
+                        em2[j, :n, :] += nn_add_by_sent[b]
                     em2[j, 0, :] += first_mask
                 p2, s2 = viterbi_decode(em2, TR2m, lengths[cand])
                 for j, b in enumerate(cand):

@@ -79,7 +79,8 @@ def label_space_for(corpus: str) -> LabelSpace:
     return CTI if cfg["etypes"] is None else LabelSpace(cfg["etypes"])
 
 
-def _word_vectors(spark: SparkSession, corpus: str, dim: int, seed: int):
+def _word_vectors(spark: SparkSession, corpus: str, dim: int, seed: int,
+                  min_count: int = 2):
     """Word2Vec over the corpus's unlabeled text, ALL splits — exactly
     the reference's scope: data_processing.py:31 builds all_sentences =
     train+valid+test and wod2vec_embedding.py:17-28 fits gensim Word2Vec
@@ -99,8 +100,8 @@ def _word_vectors(spark: SparkSession, corpus: str, dim: int, seed: int):
             df = conll.read_conll(spark, path).select("tokens")
             sents = df if sents is None else sents.unionByName(df)
     toks = sents.select(F.transform("tokens", lambda t: F.lower(t)).alias("tokens"))
-    w2v = Word2Vec(vectorSize=dim, minCount=2, seed=seed, numPartitions=1,
-                   inputCol="tokens", outputCol="vec")
+    w2v = Word2Vec(vectorSize=dim, minCount=min_count, seed=seed,
+                   numPartitions=1, inputCol="tokens", outputCol="vec")
     return w2v.fit(toks).getVectors()
 
 
@@ -158,6 +159,47 @@ def word_clusters(spark: SparkSession, corpus: str, *, dim: int = 50,
     return out
 
 
+def _neural_branch(spark: SparkSession, corpus: str,
+                   sents: list[tuple[list[str], list[str]]],
+                   ls, ncfg: dict) -> tuple[dict, object, object, dict]:
+    """Train the BiLSTM emission branch (kernel/neural.py) on the corpus
+    Word2Vec vectors → ("nn_*" artifact keys, emb, lookup, nn weights).
+    Deterministic: seeded Word2Vec fit + seeded trainer."""
+    import numpy as np
+
+    from .kernel import neural
+    from .kernel.tagger import casing_class
+
+    rows = _word_vectors(spark, corpus, dim=ncfg.get("dim", 50), seed=42,
+                         min_count=ncfg.get("min_count", 2)).collect()
+    words = [r["word"] for r in rows]
+    vecs = np.array([list(r["vector"]) for r in rows], dtype=np.float32)
+    lookup, emb = neural.build_embedding(words, vecs)
+    data = []
+    for toks, tags in sents:
+        toks = list(toks)[: perceptron.MAX_LEN]
+        tags = list(tags)[: perceptron.MAX_LEN]
+        if not toks:
+            continue
+        wid = neural.sent_ids(toks, lookup)
+        cas = np.array([casing_class(t) for t in toks], dtype=np.int64)
+        gold = np.array(
+            [ls.label2id.get(t, ls.o_id)
+             for t in perceptron.repair_bio(tags)], dtype=np.int64)
+        data.append((wid, cas, gold))
+    nnw, _losses = neural.train_bilstm(
+        data, emb, n_labels=ls.n, o_id=ls.o_id,
+        hidden=ncfg.get("hidden", 100), epochs=ncfg.get("epochs", 15),
+        lr=ncfg.get("lr", 3e-3), nonO_weight=ncfg.get("nonO_weight", 2.0),
+        seed=5)
+    arts = {"nn_words": words, "nn_emb": emb,
+            "nn_cfg": np.array([ncfg["mode"], ncfg.get("lam", 0.0)],
+                               dtype=np.float64)}
+    for k, v in nnw.items():
+        arts["nn_" + k] = v
+    return arts, emb, lookup, nnw
+
+
 def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
                  epochs: int | None = None) -> tuple[dict, dict, dict]:
     """Fit on the train split → (trained arrays, lexicon, clusters)."""
@@ -176,20 +218,70 @@ def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
     )
     clusters = word_clusters(spark, corpus)
     n_epochs = epochs if epochs is not None else cfg["epochs"]
+    ncfg = cfg.get("neural")
     if distributed:
         arts = perceptron.train_crf_distributed(
             train, ls, lex, epochs=n_epochs, use_patterns=cfg["use_patterns"],
             cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters,
         )
+        # the neural branch + two-pass fit driver-side below from the
+        # collected split (vocabulary-sized); the distributed CRF path
+        # demonstrates the 100 TB trainer shape either way
         sents = None
     else:
         sents = [
             (list(r["tokens"]), list(r["tags"]))
             for r in train.select("tokens", "tags").collect()
         ]
+    nn_arts = None
+    extras = None
+    if ncfg and not distributed:
+        import numpy as np
+
+        from .kernel import neural
+
+        nn_arts, emb, lookup, _nnw = _neural_branch(spark, corpus, sents, ls, ncfg)
+        if int(ncfg["mode"]) == neural.MODE_STACK:
+            # jackknifed branch predictions as training features (a
+            # branch predicting its own training sentences would be
+            # near-oracle and the CRF would over-trust it)
+            from .kernel.tagger import casing_class
+
+            def prep(ss):
+                out = []
+                for toks, tags in ss:
+                    toks = list(toks)[: perceptron.MAX_LEN]
+                    wid = neural.sent_ids(toks, lookup)
+                    cas = np.array([casing_class(t) for t in toks],
+                                   dtype=np.int64)
+                    gold = np.array(
+                        [ls.label2id.get(t, ls.o_id)
+                         for t in perceptron.repair_bio(list(tags)[: perceptron.MAX_LEN])],
+                        dtype=np.int64)
+                    out.append((wid, cas, gold))
+                return out
+
+            data = prep(sents)
+            extras = [None] * len(sents)
+            for fold in (0, 1):
+                fit = [data[i] for i in range(len(sents)) if i % 2 != fold]
+                wf, _ = neural.train_bilstm(
+                    fit, emb, n_labels=ls.n, o_id=ls.o_id,
+                    hidden=ncfg.get("hidden", 100),
+                    epochs=ncfg.get("epochs", 15), lr=ncfg.get("lr", 3e-3),
+                    nonO_weight=ncfg.get("nonO_weight", 2.0), seed=5)
+                for i in range(fold, len(sents), 2):
+                    toks = list(sents[i][0])[: perceptron.MAX_LEN]
+                    if not toks:
+                        extras[i] = []
+                        continue
+                    lg = neural.sent_logits(toks, wf, emb, lookup)
+                    extras[i] = neural.stack_extra(lg, ls.id2label)
+    if not distributed:
         arts = perceptron.train_crf(
             sents, ls, lex, epochs=n_epochs, use_patterns=cfg["use_patterns"],
             cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters,
+            extras=extras,
         )
     if cfg.get("two_pass"):
         if sents is None:
@@ -197,17 +289,30 @@ def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
                 (list(r["tokens"]), list(r["tags"]))
                 for r in train.select("tokens", "tags").collect()
             ]
-        attr = [(t, g) for t, g in sents if any(x != "O" for x in g)]
+        attr_idx = [i for i, (t, g) in enumerate(sents)
+                    if any(x != "O" for x in g)]
         arts2 = perceptron.train_crf(
-            attr, ls, lex, epochs=cfg["attr_epochs"],
+            [sents[i] for i in attr_idx], ls, lex, epochs=cfg["attr_epochs"],
             use_patterns=cfg["use_patterns"], cost=cfg["cost"],
             miss_cost=cfg["miss_cost"], clusters=clusters,
+            extras=[extras[i] for i in attr_idx] if extras is not None else None,
         )
         arts["sp2_w"] = arts2["sp_w"]
         arts["sp2_trans"] = arts2["sp_trans"]
-        arts["clf_w"] = perceptron.train_sentence_clf(
+        clf_dense = None
+        if cfg.get("clf_dense") and nn_arts is not None:
+            clf_dense = [perceptron.sent_mean_emb(list(t), lookup, emb)
+                         for t, _ in sents]
+        clf_out = perceptron.train_sentence_clf(
             sents, lex, clusters=clusters, pos_w=cfg["clf_pos_w"],
+            dense=clf_dense,
         )
+        if clf_dense is not None:
+            arts["clf_w"], arts["clf_dw"] = clf_out
+        else:
+            arts["clf_w"] = clf_out
+    if nn_arts is not None:
+        arts.update(nn_arts)
     return arts, lex, clusters
 
 

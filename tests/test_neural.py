@@ -119,6 +119,80 @@ def test_training_reduces_loss_and_fits_toy_pattern():
     assert correct / total > 0.9, correct / total
 
 
+def _toy_branch_bundle():
+    """Perceptron + trained neural branch on a toy corpus where only the
+    EMBEDDING decides the class (names share surface shape, so the
+    discrete features can't separate X from Y — the branch must)."""
+    from ner4cti_spark.kernel import perceptron as P
+    from ner4cti_spark.kernel.labels import LabelSpace
+
+    ls = LabelSpace(["X", "Y"])
+    rng = np.random.default_rng(9)
+    words = ["alpha", "does", "beta"] + ["nx%d" % i for i in range(15)] \
+        + ["ny%d" % i for i in range(15)]
+    vecs = rng.normal(0, 1, (len(words), 12)).astype(np.float32)
+    # class direction baked into the embedding space
+    for i, w in enumerate(words):
+        if w.startswith("nx"):
+            vecs[i, 0] += 4.0
+        elif w.startswith("ny"):
+            vecs[i, 0] -= 4.0
+    lookup, emb = neural.build_embedding(words, vecs)
+    sents = []
+    for i in range(240):
+        n = words[3 + int(rng.integers(30))]
+        lab = "B-X" if n.startswith("nx") else "B-Y"
+        sents.append((["alpha", n, "does", "beta"], ["O", lab, "O", "O"]))
+    data = []
+    from ner4cti_spark.kernel.tagger import casing_class
+
+    for toks, tags in sents:
+        wid = neural.sent_ids(toks, lookup)
+        cas = np.array([casing_class(t) for t in toks], dtype=np.int64)
+        gold = np.array([ls.label2id[t] for t in tags], dtype=np.int64)
+        data.append((wid, cas, gold))
+    nnw, _ = neural.train_bilstm(data, emb, n_labels=ls.n, o_id=ls.o_id,
+                                 hidden=12, epochs=25, lr=1e-2, seed=2)
+    arts = P.train_crf(sents, ls, {}, epochs=4, use_patterns=False)
+    arts["nn_words"] = words
+    arts["nn_emb"] = emb
+    for k, v in nnw.items():
+        arts["nn_" + k] = v
+    return arts, ls, sents
+
+
+@pytest.mark.parametrize("mode,lam", [(neural.MODE_SCORE, 4.0),
+                                      (neural.MODE_STACK, 0.0)])
+def test_branch_decode_parity_and_artifact_roundtrip(mode, lam, tmp_path):
+    """decode_sents ≡ TaggerKernel._tag_chunk_trained with the neural
+    branch active, through a save/load_artifact roundtrip, in both
+    fusion modes; unseen same-shape names must be classified by the
+    branch (score mode — the discrete features alone cannot)."""
+    from ner4cti_spark.kernel import perceptron as P
+    from ner4cti_spark.kernel.tagger import TaggerKernel
+    from ner4cti_spark.kernel.weights import build_weights
+
+    arts, ls, _sents = _toy_branch_bundle()
+    arts["nn_cfg"] = np.array([mode, lam], dtype=np.float64)
+    path = str(tmp_path / "toy_crf.npz")
+    P.save_artifact(path, arts, {}, ls.etypes)
+    arts2, phrases, etypes = P.load_artifact(path)
+    assert etypes == ls.etypes
+    nb = neural.branch_from_arts(arts2)
+    assert nb is not None and nb[3] == mode
+    toks = [["alpha", "nx3", "does", "beta"],
+            ["alpha", "ny7", "does", "beta"],
+            ["alpha", "nx11", "does", "beta"]]
+    want = P.decode_sents(toks, arts2, ls, {}, False)
+    w = build_weights(label_space=ls)
+    w.update(arts2)
+    kernel = TaggerKernel(w, phrases={}, use_patterns=False, label_space=ls)
+    got, _ = kernel.tag(toks)
+    assert got == want
+    if mode == neural.MODE_SCORE:
+        assert [t[1] for t in want] == ["B-X", "B-Y", "B-X"], want
+
+
 def test_sent_ids_lowercase_fallback():
     lookup = {"apt28": 3, "Malware": 7, "malware": 4}
     ids = neural.sent_ids(["APT28", "Malware", "MALWARE", "zzz"],

@@ -397,6 +397,373 @@ def twopass2():
     eval_combos(wclf, attr_arts, base_arts, test, "test (tv-fitted)")
 
 
+# --------------------------- trained neural emission branch (round 4)
+
+def _load_vecs(corpus: str, dim: int = 50, mc: int = 2):
+    path = f"/tmp/ner4cti_w2v_{corpus}_{dim}_mc{mc}.npz"
+    if not os.path.exists(path):
+        raise SystemExit(f"run: python tools/dump_w2v.py {corpus} {dim} {mc}")
+    z = np.load(path, allow_pickle=True)
+    return [str(w) for w in z["words"]], z["vecs"]
+
+
+def _nn_prep(sents, lookup, ls):
+    from ner4cti_spark.kernel import neural
+    from ner4cti_spark.kernel.tagger import casing_class
+
+    data = []
+    for toks, tags in sents:
+        toks = list(toks)[:perceptron.MAX_LEN]
+        tags = list(tags)[:perceptron.MAX_LEN]
+        wid = neural.sent_ids(toks, lookup)
+        cas = np.array([casing_class(t) for t in toks], dtype=np.int64)
+        gold = np.array(
+            [ls.label2id.get(t, ls.o_id) for t in perceptron.repair_bio(tags)],
+            dtype=np.int64)
+        data.append((wid, cas, gold))
+    return data
+
+
+def _nn_logits_sents(sents, nnw, emb, lookup):
+    """Per-sentence (T, L) logits through the shipped eval kernel."""
+    from ner4cti_spark.kernel import neural
+    from ner4cti_spark.kernel.tagger import casing_class
+
+    out = []
+    for toks in sents:
+        toks = list(toks)[:perceptron.MAX_LEN]
+        if not toks:
+            out.append(np.zeros((0, 1), dtype=np.float32))
+            continue
+        wid = neural.sent_ids(toks, lookup)
+        cas = np.array([casing_class(t) for t in toks], dtype=np.int64)
+        x = neural.input_features(wid[None], cas[None], emb)
+        out.append(neural.forward_logits(x, nnw)[0])
+    return out
+
+
+def nn_extra_feats(logit_list, ls):
+    """Stacked feature strings per sentence — the PRODUCTION encoding
+    (neural.stack_extra), so experiment numbers transfer exactly."""
+    from ner4cti_spark.kernel import neural
+
+    return [neural.stack_extra(lg, ls.id2label) for lg in logit_list]
+
+
+def decode_fused(sents, arts, ls, lex, use_patterns, clusters,
+                 logit_list, lam):
+    """perceptron decode with e += lam * log_softmax(neural logits) —
+    the score-fusion variant (single-pass models only)."""
+    from ner4cti_spark.kernel import neural
+    from ner4cti_spark.kernel.crf import viterbi_decode
+
+    W, TR = arts["sp_w"], arts["sp_trans"]
+    buckets = W.shape[0]
+    mask, em_mask, first_mask = perceptron._decode_masks(ls)
+    max_phrase = max((len(k) for k in lex), default=1)
+    out = []
+    for sent, lg in zip(sents, logit_list):
+        if not sent:
+            out.append([])
+            continue
+        sent_t = list(sent)[:perceptron.MAX_LEN]
+        feats = perceptron._sent_features(
+            sent_t, lex, max_phrase, use_patterns, buckets, clusters)
+        e = W[feats].sum(axis=1) + em_mask
+        if lam:
+            e = e + lam * neural.log_softmax(lg.astype(np.float64))
+        e[0] += first_mask
+        p, _ = viterbi_decode(e[None].astype(np.float32), TR + mask,
+                              np.array([len(sent_t)]))
+        tags = [ls.id2label[int(i)] for i in p[0][: len(sent_t)]]
+        tags += ["O"] * (len(sent) - len(tags))
+        out.append(tags)
+    return out
+
+
+def per_etype_line(pred, gold) -> str:
+    """Compact per-etype R (recall is where the DNRTI gap lives)."""
+    from collections import Counter
+
+    per = Counter()
+    for p, g in zip(pred, gold):
+        ps, gs = spans_of(p), spans_of(g)
+        for s in gs:
+            per[(s[2], "g")] += 1
+            if s in ps:
+                per[(s[2], "tp")] += 1
+        for s in ps:
+            per[(s[2], "p")] += 1
+    bits = []
+    for e in sorted({k[0] for k in per}):
+        gq, pq, tp = per[(e, "g")], per[(e, "p")], per[(e, "tp")]
+        bits.append(f"{e}:R{tp / max(gq, 1):.2f}/P{tp / max(pq, 1):.2f}")
+    return " ".join(bits)
+
+
+def neural_exp(corpus: str, dim: int = 50, mc: int = 2, hidden: int = 100,
+               lr: float = 3e-3, nn_epochs: int = 15, nonO_w: float = 2.0):
+    """Train the BiLSTM emission branch, then measure standalone /
+    score-fusion / stacking against the train-fitted perceptron on
+    valid. Prints the full grid; nothing here touches test."""
+    from ner4cti_spark.kernel import neural
+
+    cfg = CORPORA[corpus]
+    ls = LabelSpace(cfg["etypes"])
+    train, valid, test = load_corpus(corpus)
+    arts0, lex, _ = load_artifact_bits(corpus)
+    clusters = arts0.get("_sp_clusters")
+    map_cti = corpus == "dnrti"
+    words, vecs = _load_vecs(corpus, dim, mc)
+    lookup, emb = neural.build_embedding(words, vecs)
+    oov = sum(1 for t, _ in valid for w in t
+              if not (lookup.get(w) or lookup.get(w.lower())))
+    n_val_tok = sum(len(t) for t, _ in valid)
+    print(f"emb: {len(words)} words dim={dim} mc={mc}; "
+          f"valid OOV {oov}/{n_val_tok} ({oov / max(n_val_tok, 1):.3f})")
+
+    tr_data = _nn_prep(train, lookup, ls)
+    print(f"training BiLSTM h={hidden} lr={lr} ep={nn_epochs} nonO_w={nonO_w}")
+    nnw, losses = neural.train_bilstm(
+        tr_data, emb, n_labels=ls.n, o_id=ls.o_id, hidden=hidden,
+        epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5)
+    print("loss: " + " ".join(f"{x:.3f}" for x in losses))
+
+    v_toks = [t for t, _ in valid]
+    v_gold = [g for _, g in valid]
+    v_logits = _nn_logits_sents(v_toks, nnw, emb, lookup)
+
+    # standalone: greedy argmax (specials masked) + BIO repair
+    from ner4cti_spark.kernel.labels import SPECIALS
+
+    sp_ids = [ls.label2id[s] for s in SPECIALS if s in ls.label2id]
+    stand = []
+    for lg in v_logits:
+        lg2 = lg.copy()
+        lg2[:, sp_ids] = -1e9
+        tags = perceptron.repair_bio(
+            [ls.id2label[int(i)] for i in lg2.argmax(axis=-1)])
+        stand.append(tags)
+    gm = [map_dnrti(g) for g in v_gold] if map_cti else v_gold
+    pm = [map_dnrti(p) for p in stand] if map_cti else stand
+    p, r, f1, *_ = span_prf(pm, gm)
+    print(f"standalone BiLSTM        P={p:.4f} R={r:.4f} F1={f1:.4f}")
+    print("  " + per_etype_line(pm, gm))
+
+    # train-fitted perceptron baseline on valid
+    base_arts = perceptron.train_crf(
+        train, ls, lex, epochs=cfg["epochs"], use_patterns=cfg["use_patterns"],
+        cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters)
+    bp = perceptron.decode_sents(v_toks, base_arts, ls, lex,
+                                 cfg["use_patterns"], clusters)
+    pm = [map_dnrti(x) for x in bp] if map_cti else bp
+    p, r, f1, *_ = span_prf(pm, gm)
+    print(f"perceptron (train-fit)   P={p:.4f} R={r:.4f} F1={f1:.4f}")
+    print("  " + per_etype_line(pm, gm))
+
+    # score fusion grid
+    for lam in (0.25, 0.5, 1.0, 2.0, 4.0, 8.0):
+        fp = decode_fused(v_toks, base_arts, ls, lex, cfg["use_patterns"],
+                          clusters, v_logits, lam)
+        pm = [map_dnrti(x) for x in fp] if map_cti else fp
+        p, r, f1, *_ = span_prf(pm, gm)
+        print(f"fusion lam={lam:<5}        P={p:.4f} R={r:.4f} F1={f1:.4f}")
+        print("  " + per_etype_line(pm, gm))
+
+    # stacking: 2-fold jackknifed train features, full-model valid features
+    print("jackknifing train predictions (2-fold)...")
+    tr_extras: list = [None] * len(train)
+    for fold in (0, 1):
+        fit_idx = [i for i in range(len(train)) if i % 2 != fold]
+        prd_idx = [i for i in range(len(train)) if i % 2 == fold]
+        wf, _ = neural.train_bilstm(
+            [tr_data[i] for i in fit_idx], emb, n_labels=ls.n, o_id=ls.o_id,
+            hidden=hidden, epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5)
+        lg = _nn_logits_sents([train[i][0] for i in prd_idx], wf, emb, lookup)
+        for j, i in enumerate(prd_idx):
+            tr_extras[i] = lg[j]
+    tr_extra_feats = nn_extra_feats(tr_extras, ls)
+    v_extra_feats = nn_extra_feats(v_logits, ls)
+    stack_arts = perceptron.train_crf(
+        train, ls, lex, epochs=cfg["epochs"], use_patterns=cfg["use_patterns"],
+        cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters,
+        extras=tr_extra_feats)
+    sp_pred = perceptron.decode_sents(v_toks, stack_arts, ls, lex,
+                                      cfg["use_patterns"], clusters,
+                                      extras=v_extra_feats)
+    pm = [map_dnrti(x) for x in sp_pred] if map_cti else sp_pred
+    p, r, f1, *_ = span_prf(pm, gm)
+    print(f"stacked features         P={p:.4f} R={r:.4f} F1={f1:.4f}")
+    print("  " + per_etype_line(pm, gm))
+
+
+def mdbneural(dim: int = 50, mc: int = 2, hidden: int = 100, lr: float = 3e-3,
+              nn_epochs: int = 15, nonO_w: float = 2.0):
+    """MalwareDB: two-pass decode with the trained neural branch fused
+    in, via the PRODUCTION decode path (arts nn_* keys). Train-fitted,
+    valid-reported; grids lam for score mode + stacking mode."""
+    from ner4cti_spark.kernel import neural
+
+    cfg = CORPORA["malwaredb"]
+    ls = LabelSpace(cfg["etypes"])
+    train, valid, test = load_corpus("malwaredb")
+    arts0, lex, _ = load_artifact_bits("malwaredb")
+    clusters = arts0.get("_sp_clusters")
+    words, vecs = _load_vecs("malwaredb", dim, mc)
+    lookup, emb = neural.build_embedding(words, vecs)
+
+    tr_data = _nn_prep(train, lookup, ls)
+    nnw, losses = neural.train_bilstm(
+        tr_data, emb, n_labels=ls.n, o_id=ls.o_id, hidden=hidden,
+        epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5)
+    print("nn loss: %.3f -> %.3f" % (losses[0], losses[-1]))
+
+    base_arts = perceptron.train_crf(
+        train, ls, lex, epochs=cfg["epochs"], use_patterns=cfg["use_patterns"],
+        cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters)
+    attr_arts = perceptron.train_crf(
+        _attr(train), ls, lex, epochs=cfg["attr_epochs"],
+        use_patterns=cfg["use_patterns"], cost=cfg["cost"],
+        miss_cost=cfg["miss_cost"], clusters=clusters)
+    w_clf = perceptron.train_sentence_clf(
+        train, lex, clusters=clusters, pos_w=cfg["clf_pos_w"])
+
+    v_toks = [t for t, _ in valid]
+    v_gold = [g for _, g in valid]
+
+    def assemble(mode, lam):
+        arts = dict(base_arts)
+        arts["sp2_w"] = attr_arts["sp_w"]
+        arts["sp2_trans"] = attr_arts["sp_trans"]
+        arts["clf_w"] = w_clf
+        if mode:
+            arts["nn_words"] = words
+            arts["nn_emb"] = emb
+            for k, v in nnw.items():
+                arts["nn_" + k] = v
+            arts["nn_cfg"] = np.array([mode, lam], dtype=np.float64)
+        return arts
+
+    for name, mode, lam in ([("baseline", 0, 0.0)]
+                            + [(f"score lam={la}", neural.MODE_SCORE, la)
+                               for la in (0.5, 1.0, 2.0, 4.0, 8.0)]):
+        dec = perceptron.decode_sents(v_toks, assemble(mode, lam), ls, lex,
+                                      cfg["use_patterns"], clusters)
+        p, r, f1, tp, np_, ng = span_prf(dec, v_gold)
+        print(f"{name:<16} P={p:.4f} R={r:.4f} F1={f1:.4f} (pred={np_})")
+
+    # stacking: jackknifed train extras, production stack mode at decode
+    print("jackknifing (2-fold)...")
+    tr_lg: list = [None] * len(train)
+    for fold in (0, 1):
+        fit_idx = [i for i in range(len(train)) if i % 2 != fold]
+        prd_idx = [i for i in range(len(train)) if i % 2 == fold]
+        wf, _ = neural.train_bilstm(
+            [tr_data[i] for i in fit_idx], emb, n_labels=ls.n, o_id=ls.o_id,
+            hidden=hidden, epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5)
+        lg = _nn_logits_sents([train[i][0] for i in prd_idx], wf, emb, lookup)
+        for j, i in enumerate(prd_idx):
+            tr_lg[i] = lg[j]
+    tr_extras = nn_extra_feats(tr_lg, ls)
+    base_s = perceptron.train_crf(
+        train, ls, lex, epochs=cfg["epochs"], use_patterns=cfg["use_patterns"],
+        cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters,
+        extras=tr_extras)
+    attr_idx = [i for i, (t, g) in enumerate(train) if any(x != "O" for x in g)]
+    attr_s = perceptron.train_crf(
+        [train[i] for i in attr_idx], ls, lex, epochs=cfg["attr_epochs"],
+        use_patterns=cfg["use_patterns"], cost=cfg["cost"],
+        miss_cost=cfg["miss_cost"], clusters=clusters,
+        extras=[tr_extras[i] for i in attr_idx])
+    arts = dict(base_s)
+    arts["sp2_w"] = attr_s["sp_w"]
+    arts["sp2_trans"] = attr_s["sp_trans"]
+    arts["clf_w"] = w_clf
+    arts["nn_words"] = words
+    arts["nn_emb"] = emb
+    for k, v in nnw.items():
+        arts["nn_" + k] = v
+    arts["nn_cfg"] = np.array([neural.MODE_STACK, 0.0], dtype=np.float64)
+    dec = perceptron.decode_sents(v_toks, arts, ls, lex,
+                                  cfg["use_patterns"], clusters)
+    p, r, f1, tp, np_, ng = span_prf(dec, v_gold)
+    print(f"{'stacked':<16} P={p:.4f} R={r:.4f} F1={f1:.4f} (pred={np_})")
+
+
+def mdbclf(dim: int = 50, mc: int = 2, pos_w: float = 3.0):
+    """MalwareDB attribution classifier: sparse features vs sparse +
+    dense sentence-embedding block (sent_mean_emb), measured on the gate
+    (P/R) and downstream (two-pass span F1 on valid, train-fitted)."""
+    from ner4cti_spark.kernel import neural
+
+    cfg = CORPORA["malwaredb"]
+    ls = LabelSpace(cfg["etypes"])
+    train, valid, test = load_corpus("malwaredb")
+    arts0, lex, _ = load_artifact_bits("malwaredb")
+    clusters = arts0.get("_sp_clusters")
+    words, vecs = _load_vecs("malwaredb", dim, mc)
+    lookup, emb = neural.build_embedding(words, vecs)
+
+    base_arts = perceptron.train_crf(
+        train, ls, lex, epochs=cfg["epochs"], use_patterns=cfg["use_patterns"],
+        cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters)
+    attr_arts = perceptron.train_crf(
+        _attr(train), ls, lex, epochs=cfg["attr_epochs"],
+        use_patterns=cfg["use_patterns"], cost=cfg["cost"],
+        miss_cost=cfg["miss_cost"], clusters=clusters)
+
+    tr_dense = [perceptron.sent_mean_emb(t, lookup, emb) for t, _ in train]
+    v_dense = [perceptron.sent_mean_emb(t, lookup, emb) for t, _ in valid]
+    w_sparse = perceptron.train_sentence_clf(
+        train, lex, clusters=clusters, pos_w=pos_w)
+    w_d, wd = perceptron.train_sentence_clf(
+        train, lex, clusters=clusters, pos_w=pos_w, dense=tr_dense)
+
+    v_toks = [t for t, _ in valid]
+    v_gold = [g for _, g in valid]
+    g_gold = [any(x != "O" for x in g) for g in v_gold]
+    max_phrase = max((len(k) for k in lex), default=1)
+
+    def gate_scores(wc, wdv=None, dn=None):
+        out = []
+        for i, t in enumerate(v_toks):
+            s = float(wc[perceptron.clf_features(
+                list(t)[:perceptron.MAX_LEN], lex, max_phrase, clusters)].sum())
+            if wdv is not None:
+                s += float(wdv @ dn[i])
+            out.append(s)
+        return out
+
+    for name, wc, wdv, dn in (("sparse", w_sparse, None, None),
+                              ("sparse+dense", w_d, wd, v_dense)):
+        sc = gate_scores(wc, wdv, dn)
+        pred = [s > 0 for s in sc]
+        tp = sum(1 for p, g in zip(pred, g_gold) if p and g)
+        print(f"clf {name:<13} gate P={tp / max(sum(pred), 1):.3f} "
+              f"R={tp / max(sum(g_gold), 1):.3f} (pred {sum(pred)}, gold {sum(g_gold)})")
+        arts = dict(base_arts)
+        arts["sp2_w"] = attr_arts["sp_w"]
+        arts["sp2_trans"] = attr_arts["sp_trans"]
+        arts["clf_w"] = wc
+        dec = perceptron.decode_sents(
+            v_toks, arts, ls, lex, cfg["use_patterns"], clusters,
+            clf_dense_scores=([float(wdv @ d) for d in dn]
+                              if wdv is not None else None))
+        p, r, f1, tpn, np_, ng = span_prf(dec, v_gold)
+        print(f"  two-pass valid         P={p:.4f} R={r:.4f} F1={f1:.4f} (pred={np_})")
+
+    # oracle gate ceiling with this attr model (reference point)
+    arts = dict(base_arts)
+    arts["sp2_w"] = attr_arts["sp_w"]
+    arts["sp2_trans"] = attr_arts["sp_trans"]
+    arts["clf_w"] = w_sparse
+    dec = perceptron.decode_sents(
+        v_toks, arts, ls, lex, cfg["use_patterns"], clusters,
+        clf_dense_scores=[1e6 if g else -1e6 for g in g_gold])
+    p, r, f1, *_ = span_prf(dec, v_gold)
+    print(f"oracle gate              P={p:.4f} R={r:.4f} F1={f1:.4f}")
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "baseline"
     if cmd == "baseline":
@@ -407,3 +774,15 @@ if __name__ == "__main__":
         twopass()
     elif cmd == "twopass2":
         twopass2()
+    elif cmd == "neural":
+        kw = {}
+        for a in sys.argv[3:]:
+            k, v = a.split("=")
+            kw[k] = float(v) if "." in v or "e" in v else int(v)
+        neural_exp(sys.argv[2], **kw)
+    elif cmd in ("mdbclf", "mdbneural"):
+        kw = {}
+        for a in sys.argv[2:]:
+            k, v = a.split("=")
+            kw[k] = float(v) if "." in v or "e" in v else int(v)
+        (mdbclf if cmd == "mdbclf" else mdbneural)(**kw)
