@@ -242,12 +242,16 @@ def train_bilstm(data: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
                  hidden: int = 100, epochs: int = 12, lr: float = 1e-3,
                  nonO_weight: float = 2.0, batch_cap: int = 64,
                  seed: int = 5, max_len: int = 256,
+                 word_dropout: float = 0.0,
                  ) -> tuple[dict[str, np.ndarray], list[float]]:
     """Fit the BiLSTM emission branch. `data` = per-sentence
     (word_ids, casing_ids, gold_label_ids); sentences are grouped by
     exact length (no padding, see module docstring), shuffled at batch
     granularity each epoch. Returns (weights, per-epoch mean loss) —
-    the A5 convergence signal for this branch."""
+    the A5 convergence signal for this branch. `word_dropout` replaces
+    each word id with OOV (0) at that rate during training only — the
+    model must then tag from context, the standard lever for
+    open-vocabulary recall (the OOV-tool failure mode)."""
     din = emb.shape[1] + N_CASES + 1
     w = init_weights(din, hidden, n_labels, seed)
     opt = AdamState(w, lr=lr)
@@ -271,6 +275,8 @@ def train_bilstm(data: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
             wid = np.stack([data[i][0] for i in idxs])
             cas = np.stack([data[i][1] for i in idxs])
             gold = np.stack([data[i][2] for i in idxs])
+            if word_dropout > 0.0:
+                wid = np.where(rng.random(wid.shape) < word_dropout, 0, wid)
             x = input_features(wid, cas, emb)
             logits, cache = _forward_train(x, w)
             tok_w = np.where(gold != o_id, nonO_weight, 1.0)
@@ -316,25 +322,42 @@ def emb_from_arts(arts: dict) -> tuple[np.ndarray, dict[str, int]] | None:
     return emb, lookup
 
 
-def branch_from_arts(arts: dict) -> tuple[dict, np.ndarray, dict[str, int], int, float] | None:
-    """(weights, emb, lookup, mode, lam) from an artifact bundle, or
-    None when no trained neural branch is present."""
+def branch_from_arts(arts: dict) -> tuple[list[dict], np.ndarray, dict[str, int], int, float] | None:
+    """([member weights...], emb, lookup, mode, lam) from an artifact
+    bundle, or None when no trained neural branch is present. Members
+    are an ensemble of independently-seeded fits whose log-softmax
+    outputs are averaged (geometric-mean distribution) — measured
+    +0.010 span F1 over the best single member on DNRTI valid. Keys:
+    multi-member bundles use nn_m{i}_<w>; a single member may use the
+    bare nn_<w> form."""
     if "nn_cfg" not in arts:
         return None
     cfg = np.asarray(arts["nn_cfg"], dtype=np.float64)
     mode = int(cfg[0])
     if mode == MODE_OFF:
         return None
-    w = {
-        k[3:]: np.asarray(arts[k], dtype=np.float32)
-        for k in arts
-        if k.startswith("nn_lstm") or k in ("nn_em_w", "nn_em_b")
-    }
     pair = emb_from_arts(arts)
     if pair is None:
         return None
     emb, lookup = pair
-    return w, emb, lookup, mode, float(cfg[1])
+    members: list[dict] = []
+    for i in range(64):
+        pre = f"nn_m{i}_"
+        w = {k[len(pre):]: np.asarray(arts[k], dtype=np.float32)
+             for k in arts if k.startswith(pre)}
+        if not w:
+            break
+        members.append(w)
+    if not members:
+        w = {
+            k[3:]: np.asarray(arts[k], dtype=np.float32)
+            for k in arts
+            if k.startswith("nn_lstm") or k in ("nn_em_w", "nn_em_b")
+        }
+        if not w:
+            return None
+        members = [w]
+    return members, emb, lookup, mode, float(cfg[1])
 
 
 def sent_logits(tokens: list[str], w: dict, emb: np.ndarray,
@@ -346,6 +369,17 @@ def sent_logits(tokens: list[str], w: dict, emb: np.ndarray,
     cas = np.array([casing_class(t) for t in tokens], dtype=np.int64)
     x = input_features(wid[None], cas[None], emb)
     return forward_logits(x, w)[0]
+
+
+def sent_logprob(tokens: list[str], members: list[dict], emb: np.ndarray,
+                 lookup: dict[str, int]) -> np.ndarray:
+    """(T, L) ensemble log-probabilities: mean of per-member
+    log-softmax, renormalized (log of the geometric-mean distribution).
+    The (B=1) forward per member is T small GEMMs — vocabulary-scale
+    cost, and the corpus pipeline's kernel batches around it."""
+    lps = [log_softmax(sent_logits(tokens, w, emb, lookup).astype(np.float64))
+           for w in members]
+    return log_softmax(np.mean(lps, axis=0))
 
 
 def stack_extra(logits: np.ndarray, id2label: dict[int, str]

@@ -388,13 +388,12 @@ def decode_sents(sents: list[list[str]], arts: dict, ls: LabelSpace,
         ex = extras[si][:MAX_LEN] if extras is not None else None
         nn_add = None
         if nb is not None:
-            nw, nemb, nlook, nmode, nlam = nb
-            lg = neural.sent_logits(sent_t, nw, nemb, nlook)
+            members, nemb, nlook, nmode, nlam = nb
+            lp = neural.sent_logprob(sent_t, members, nemb, nlook)
             if nmode == neural.MODE_STACK and ex is None:
-                ex = neural.stack_extra(lg, ls.id2label)
+                ex = neural.stack_extra(lp, ls.id2label)
             elif nmode == neural.MODE_SCORE:
-                nn_add = (nlam * neural.log_softmax(
-                    lg.astype(np.float64))).astype(np.float32)
+                nn_add = (nlam * lp).astype(np.float32)
         feats = _sent_features(sent_t, phrases, max_phrase, use_patterns,
                                buckets, clusters, extra=ex)
         e = W[feats].sum(axis=1) + em_mask

@@ -380,13 +380,12 @@ class TaggerKernel:
                 continue
             ex = None
             if nb is not None:
-                nw, nemb, nlook, nmode, nlam = nb
-                lg = neural.sent_logits(sent[:n], nw, nemb, nlook)
+                members, nemb, nlook, nmode, nlam = nb
+                lp = neural.sent_logprob(sent[:n], members, nemb, nlook)
                 if nmode == neural.MODE_STACK:
-                    ex = neural.stack_extra(lg, self.ls.id2label)
+                    ex = neural.stack_extra(lp, self.ls.id2label)
                 elif nmode == neural.MODE_SCORE:
-                    nn_add_by_sent[b] = (nlam * neural.log_softmax(
-                        lg.astype(np.float64))).astype(np.float32)
+                    nn_add_by_sent[b] = (nlam * lp).astype(np.float32)
             feats = P._sent_features(sent[:n], self.phrases, self.max_phrase,
                                      use_patterns, buckets, clusters, extra=ex)
             feats_by_sent[b] = feats

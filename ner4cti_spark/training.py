@@ -80,11 +80,13 @@ def label_space_for(corpus: str) -> LabelSpace:
 
 
 def _word_vectors(spark: SparkSession, corpus: str, dim: int, seed: int,
-                  min_count: int = 2):
+                  min_count: int = 2, max_iter: int = 1, window: int = 5):
     """Word2Vec over the corpus's unlabeled text, ALL splits — exactly
     the reference's scope: data_processing.py:31 builds all_sentences =
     train+valid+test and wod2vec_embedding.py:17-28 fits gensim Word2Vec
-    on it (labels never read). Test-split TEXT in the unlabeled embedding
+    on it (labels never read; their config: min_count=2, size=256,
+    window=3, CBOW, gensim-default 5 epochs — pyspark.ml is skip-gram,
+    a documented deviation). Test-split TEXT in the unlabeled embedding
     fit is what gives out-of-vocabulary test entities usable
     cluster/augmentation features → (word, vector) DataFrame."""
     from pyspark.ml.feature import Word2Vec
@@ -101,7 +103,8 @@ def _word_vectors(spark: SparkSession, corpus: str, dim: int, seed: int,
             sents = df if sents is None else sents.unionByName(df)
     toks = sents.select(F.transform("tokens", lambda t: F.lower(t)).alias("tokens"))
     w2v = Word2Vec(vectorSize=dim, minCount=min_count, seed=seed,
-                   numPartitions=1, inputCol="tokens", outputCol="vec")
+                   numPartitions=1, maxIter=max_iter, windowSize=window,
+                   inputCol="tokens", outputCol="vec")
     return w2v.fit(toks).getVectors()
 
 
@@ -170,8 +173,10 @@ def _neural_branch(spark: SparkSession, corpus: str,
     from .kernel import neural
     from .kernel.tagger import casing_class
 
-    rows = _word_vectors(spark, corpus, dim=ncfg.get("dim", 50), seed=42,
-                         min_count=ncfg.get("min_count", 2)).collect()
+    rows = _word_vectors(spark, corpus, dim=ncfg.get("dim", 256), seed=42,
+                         min_count=ncfg.get("min_count", 2),
+                         max_iter=ncfg.get("max_iter", 5),
+                         window=ncfg.get("window", 3)).collect()
     words = [r["word"] for r in rows]
     vecs = np.array([list(r["vector"]) for r in rows], dtype=np.float32)
     lookup, emb = neural.build_embedding(words, vecs)
@@ -187,16 +192,19 @@ def _neural_branch(spark: SparkSession, corpus: str,
             [ls.label2id.get(t, ls.o_id)
              for t in perceptron.repair_bio(tags)], dtype=np.int64)
         data.append((wid, cas, gold))
-    nnw, _losses = neural.train_bilstm(
-        data, emb, n_labels=ls.n, o_id=ls.o_id,
-        hidden=ncfg.get("hidden", 100), epochs=ncfg.get("epochs", 15),
-        lr=ncfg.get("lr", 3e-3), nonO_weight=ncfg.get("nonO_weight", 2.0),
-        seed=5)
     arts = {"nn_words": words, "nn_emb": emb,
             "nn_cfg": np.array([ncfg["mode"], ncfg.get("lam", 0.0)],
                                dtype=np.float64)}
-    for k, v in nnw.items():
-        arts["nn_" + k] = v
+    nnw = None
+    for m in range(ncfg.get("ens", 3)):
+        w_m, _losses = neural.train_bilstm(
+            data, emb, n_labels=ls.n, o_id=ls.o_id,
+            hidden=ncfg.get("hidden", 100), epochs=ncfg.get("epochs", 45),
+            lr=ncfg.get("lr", 3e-3), nonO_weight=ncfg.get("nonO_weight", 2.0),
+            seed=5 + m, word_dropout=ncfg.get("word_dropout", 0.1))
+        nnw = w_m if nnw is None else nnw
+        for k, v in w_m.items():
+            arts[f"nn_m{m}_{k}"] = v
     return arts, emb, lookup, nnw
 
 
@@ -268,8 +276,9 @@ def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
                 wf, _ = neural.train_bilstm(
                     fit, emb, n_labels=ls.n, o_id=ls.o_id,
                     hidden=ncfg.get("hidden", 100),
-                    epochs=ncfg.get("epochs", 15), lr=ncfg.get("lr", 3e-3),
-                    nonO_weight=ncfg.get("nonO_weight", 2.0), seed=5)
+                    epochs=ncfg.get("epochs", 45), lr=ncfg.get("lr", 3e-3),
+                    nonO_weight=ncfg.get("nonO_weight", 2.0), seed=5,
+                    word_dropout=ncfg.get("word_dropout", 0.1))
                 for i in range(fold, len(sents), 2):
                     toks = list(sents[i][0])[: perceptron.MAX_LEN]
                     if not toks:

@@ -399,10 +399,15 @@ def twopass2():
 
 # --------------------------- trained neural emission branch (round 4)
 
-def _load_vecs(corpus: str, dim: int = 50, mc: int = 2):
-    path = f"/tmp/ner4cti_w2v_{corpus}_{dim}_mc{mc}.npz"
+def _load_vecs(corpus: str, dim: int = 50, mc: int = 2, it: int = 1,
+               wn: int = 5):
+    path = f"/tmp/ner4cti_w2v_{corpus}_{dim}_mc{mc}_it{it}_w{wn}.npz"
+    legacy = f"/tmp/ner4cti_w2v_{corpus}_{dim}_mc{mc}.npz"
+    if not os.path.exists(path) and it == 1 and wn == 5 and os.path.exists(legacy):
+        path = legacy
     if not os.path.exists(path):
-        raise SystemExit(f"run: python tools/dump_w2v.py {corpus} {dim} {mc}")
+        raise SystemExit(
+            f"run: python tools/dump_w2v.py {corpus} {dim} {mc} {it} {wn}")
     z = np.load(path, allow_pickle=True)
     return [str(w) for w in z["words"]], z["vecs"]
 
@@ -501,8 +506,10 @@ def per_etype_line(pred, gold) -> str:
     return " ".join(bits)
 
 
-def neural_exp(corpus: str, dim: int = 50, mc: int = 2, hidden: int = 100,
-               lr: float = 3e-3, nn_epochs: int = 15, nonO_w: float = 2.0):
+def neural_exp(corpus: str, dim: int = 50, mc: int = 2, it: int = 1,
+               wn: int = 5, hidden: int = 100,
+               lr: float = 3e-3, nn_epochs: int = 15, nonO_w: float = 2.0,
+               wd: float = 0.0, ens: int = 1, skip_stack: int = 0):
     """Train the BiLSTM emission branch, then measure standalone /
     score-fusion / stacking against the train-fitted perceptron on
     valid. Prints the full grid; nothing here touches test."""
@@ -514,7 +521,7 @@ def neural_exp(corpus: str, dim: int = 50, mc: int = 2, hidden: int = 100,
     arts0, lex, _ = load_artifact_bits(corpus)
     clusters = arts0.get("_sp_clusters")
     map_cti = corpus == "dnrti"
-    words, vecs = _load_vecs(corpus, dim, mc)
+    words, vecs = _load_vecs(corpus, dim, mc, it, wn)
     lookup, emb = neural.build_embedding(words, vecs)
     oov = sum(1 for t, _ in valid for w in t
               if not (lookup.get(w) or lookup.get(w.lower())))
@@ -523,15 +530,39 @@ def neural_exp(corpus: str, dim: int = 50, mc: int = 2, hidden: int = 100,
           f"valid OOV {oov}/{n_val_tok} ({oov / max(n_val_tok, 1):.3f})")
 
     tr_data = _nn_prep(train, lookup, ls)
-    print(f"training BiLSTM h={hidden} lr={lr} ep={nn_epochs} nonO_w={nonO_w}")
-    nnw, losses = neural.train_bilstm(
-        tr_data, emb, n_labels=ls.n, o_id=ls.o_id, hidden=hidden,
-        epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5)
-    print("loss: " + " ".join(f"{x:.3f}" for x in losses))
+    branches = []
+    for si in range(ens):
+        seed = 5 + si
+        ck = (f"/tmp/nn_{corpus}_{dim}_{mc}_{it}_{wn}_h{hidden}_lr{lr}"
+              f"_ep{nn_epochs}_w{nonO_w}_wd{wd}_s{seed}.npz")
+        if os.path.exists(ck):
+            z = np.load(ck)
+            branches.append({k: z[k] for k in z.files})
+            print(f"loaded cached branch {ck}")
+        else:
+            print(f"training BiLSTM h={hidden} lr={lr} ep={nn_epochs} "
+                  f"nonO_w={nonO_w} wd={wd} seed={seed}")
+            wti, losses = neural.train_bilstm(
+                tr_data, emb, n_labels=ls.n, o_id=ls.o_id, hidden=hidden,
+                epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=seed,
+                word_dropout=wd)
+            print("loss: " + " ".join(f"{x:.3f}" for x in losses))
+            np.savez(ck, **wti)
+            branches.append(wti)
+    nnw = branches[0]
 
     v_toks = [t for t, _ in valid]
     v_gold = [g for _, g in valid]
-    v_logits = _nn_logits_sents(v_toks, nnw, emb, lookup)
+    if ens == 1:
+        v_logits = _nn_logits_sents(v_toks, nnw, emb, lookup)
+    else:
+        # ensemble: arithmetic mean of per-branch log-softmax
+        # (geometric mean of the distributions)
+        per = [[neural.log_softmax(lg.astype(np.float64))
+                for lg in _nn_logits_sents(v_toks, b, emb, lookup)]
+               for b in branches]
+        v_logits = [np.mean([per[bi][si] for bi in range(ens)], axis=0)
+                    for si in range(len(v_toks))]
 
     # standalone: greedy argmax (specials masked) + BIO repair
     from ner4cti_spark.kernel.labels import SPECIALS
@@ -550,10 +581,16 @@ def neural_exp(corpus: str, dim: int = 50, mc: int = 2, hidden: int = 100,
     print(f"standalone BiLSTM        P={p:.4f} R={r:.4f} F1={f1:.4f}")
     print("  " + per_etype_line(pm, gm))
 
-    # train-fitted perceptron baseline on valid
-    base_arts = perceptron.train_crf(
-        train, ls, lex, epochs=cfg["epochs"], use_patterns=cfg["use_patterns"],
-        cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters)
+    # train-fitted perceptron baseline on valid (deterministic — cache)
+    bk = f"/tmp/crf_trainfit_{corpus}.npz"
+    if os.path.exists(bk):
+        z = np.load(bk)
+        base_arts = {k: z[k] for k in z.files}
+    else:
+        base_arts = perceptron.train_crf(
+            train, ls, lex, epochs=cfg["epochs"], use_patterns=cfg["use_patterns"],
+            cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters)
+        np.savez(bk, sp_w=base_arts["sp_w"], sp_trans=base_arts["sp_trans"])
     bp = perceptron.decode_sents(v_toks, base_arts, ls, lex,
                                  cfg["use_patterns"], clusters)
     pm = [map_dnrti(x) for x in bp] if map_cti else bp
@@ -562,7 +599,7 @@ def neural_exp(corpus: str, dim: int = 50, mc: int = 2, hidden: int = 100,
     print("  " + per_etype_line(pm, gm))
 
     # score fusion grid
-    for lam in (0.25, 0.5, 1.0, 2.0, 4.0, 8.0):
+    for lam in (2.0, 4.0, 8.0, 12.0, 16.0, 24.0, 32.0):
         fp = decode_fused(v_toks, base_arts, ls, lex, cfg["use_patterns"],
                           clusters, v_logits, lam)
         pm = [map_dnrti(x) for x in fp] if map_cti else fp
@@ -571,6 +608,8 @@ def neural_exp(corpus: str, dim: int = 50, mc: int = 2, hidden: int = 100,
         print("  " + per_etype_line(pm, gm))
 
     # stacking: 2-fold jackknifed train features, full-model valid features
+    if skip_stack:
+        return
     print("jackknifing train predictions (2-fold)...")
     tr_extras: list = [None] * len(train)
     for fold in (0, 1):
@@ -578,7 +617,8 @@ def neural_exp(corpus: str, dim: int = 50, mc: int = 2, hidden: int = 100,
         prd_idx = [i for i in range(len(train)) if i % 2 == fold]
         wf, _ = neural.train_bilstm(
             [tr_data[i] for i in fit_idx], emb, n_labels=ls.n, o_id=ls.o_id,
-            hidden=hidden, epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5)
+            hidden=hidden, epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5,
+            word_dropout=wd)
         lg = _nn_logits_sents([train[i][0] for i in prd_idx], wf, emb, lookup)
         for j, i in enumerate(prd_idx):
             tr_extras[i] = lg[j]
@@ -597,8 +637,9 @@ def neural_exp(corpus: str, dim: int = 50, mc: int = 2, hidden: int = 100,
     print("  " + per_etype_line(pm, gm))
 
 
-def mdbneural(dim: int = 50, mc: int = 2, hidden: int = 100, lr: float = 3e-3,
-              nn_epochs: int = 15, nonO_w: float = 2.0):
+def mdbneural(dim: int = 50, mc: int = 2, it: int = 1, wn: int = 5,
+              hidden: int = 100, lr: float = 3e-3,
+              nn_epochs: int = 15, nonO_w: float = 2.0, wd: float = 0.0):
     """MalwareDB: two-pass decode with the trained neural branch fused
     in, via the PRODUCTION decode path (arts nn_* keys). Train-fitted,
     valid-reported; grids lam for score mode + stacking mode."""
@@ -609,13 +650,13 @@ def mdbneural(dim: int = 50, mc: int = 2, hidden: int = 100, lr: float = 3e-3,
     train, valid, test = load_corpus("malwaredb")
     arts0, lex, _ = load_artifact_bits("malwaredb")
     clusters = arts0.get("_sp_clusters")
-    words, vecs = _load_vecs("malwaredb", dim, mc)
+    words, vecs = _load_vecs("malwaredb", dim, mc, it, wn)
     lookup, emb = neural.build_embedding(words, vecs)
 
     tr_data = _nn_prep(train, lookup, ls)
     nnw, losses = neural.train_bilstm(
         tr_data, emb, n_labels=ls.n, o_id=ls.o_id, hidden=hidden,
-        epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5)
+        epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5, word_dropout=wd)
     print("nn loss: %.3f -> %.3f" % (losses[0], losses[-1]))
 
     base_arts = perceptron.train_crf(
@@ -646,7 +687,7 @@ def mdbneural(dim: int = 50, mc: int = 2, hidden: int = 100, lr: float = 3e-3,
 
     for name, mode, lam in ([("baseline", 0, 0.0)]
                             + [(f"score lam={la}", neural.MODE_SCORE, la)
-                               for la in (0.5, 1.0, 2.0, 4.0, 8.0)]):
+                               for la in (2.0, 4.0, 8.0, 12.0, 16.0, 24.0)]):
         dec = perceptron.decode_sents(v_toks, assemble(mode, lam), ls, lex,
                                       cfg["use_patterns"], clusters)
         p, r, f1, tp, np_, ng = span_prf(dec, v_gold)
@@ -690,7 +731,8 @@ def mdbneural(dim: int = 50, mc: int = 2, hidden: int = 100, lr: float = 3e-3,
     print(f"{'stacked':<16} P={p:.4f} R={r:.4f} F1={f1:.4f} (pred={np_})")
 
 
-def mdbclf(dim: int = 50, mc: int = 2, pos_w: float = 3.0):
+def mdbclf(dim: int = 50, mc: int = 2, it: int = 1, wn: int = 5,
+           pos_w: float = 3.0):
     """MalwareDB attribution classifier: sparse features vs sparse +
     dense sentence-embedding block (sent_mean_emb), measured on the gate
     (P/R) and downstream (two-pass span F1 on valid, train-fitted)."""
@@ -701,7 +743,7 @@ def mdbclf(dim: int = 50, mc: int = 2, pos_w: float = 3.0):
     train, valid, test = load_corpus("malwaredb")
     arts0, lex, _ = load_artifact_bits("malwaredb")
     clusters = arts0.get("_sp_clusters")
-    words, vecs = _load_vecs("malwaredb", dim, mc)
+    words, vecs = _load_vecs("malwaredb", dim, mc, it, wn)
     lookup, emb = neural.build_embedding(words, vecs)
 
     base_arts = perceptron.train_crf(
