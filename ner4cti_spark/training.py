@@ -36,6 +36,17 @@ CORPORA = {
         "epochs": 32,
         "cost": 2.0,
         "miss_cost": 4.0,
+        # trained neural emission branch (kernel/neural.py), score-fused
+        # into the CRF decode: e += lam * ensemble log-softmax — the
+        # engine's M7/M8 analog (reference BertModel.py:53-114 emissions
+        # + model.py:455-465 gate fusion). Word2Vec at the reference's
+        # scale (wod2vec_embedding.py:27: size=256, window=3,
+        # min_count=2, 5 epochs). All hyperparameters valid-selected
+        # with train-fitted models (NOTES_r4.md experiment log):
+        # valid span F1 0.7676 -> 0.7955.
+        "neural": {"mode": 1, "lam": 16.0, "dim": 256, "max_iter": 5,
+                   "window": 3, "hidden": 100, "epochs": 45, "lr": 3e-3,
+                   "nonO_weight": 2.0, "word_dropout": 0.1, "ens": 3},
     },
     "malwaredb": {
         "path": "/root/reference/MalwareDB/MalwareDB",
@@ -53,6 +64,15 @@ CORPORA = {
         "two_pass": True,
         "attr_epochs": 40,
         "clf_pos_w": 3.0,
+        # neural emission branch fused into BOTH two-pass token models
+        # (valid span F1 0.3183 -> 0.4475 train-fitted; lam plateau
+        # 64-192, argmax 192; pure-neural asymptote 0.4147, so the CRF
+        # features still add ~3pts). The dense sentence-embedding clf
+        # block was a measured NEGATIVE (gate R 0.629 -> 0.599) and is
+        # not enabled.
+        "neural": {"mode": 1, "lam": 192.0, "dim": 256, "max_iter": 5,
+                   "window": 3, "hidden": 100, "epochs": 45, "lr": 3e-3,
+                   "nonO_weight": 2.0, "word_dropout": 0.1, "ens": 3},
     },
 }
 

@@ -143,13 +143,15 @@ def test_upos_differs_from_casing_signal():
     not os.path.exists("/root/reference/DNRTI_Dataset/test.txt"),
     reason="reference corpus not present")
 def test_dnrti_trained_quality_gate(spark):
-    """The trained model replaces the lexicon baseline: span F1 ≥ 0.84
-    on the DNRTI test split (baseline was 0.68)."""
+    """Trained CRF + score-fused neural emission branch: span F1 ≥ 0.86
+    on the DNRTI test split (lexicon baseline 0.68, feature-CRF alone
+    0.855, fused 0.880 measured r4 — the branch moved OOV tool recall
+    0.61 → 0.71)."""
     from ner4cti_spark.dataprep_queries import q_dnrti_eval
 
     row = q_dnrti_eval(spark, "").collect()[0]
-    assert row["f1"] >= 0.84, row
-    assert row["precision"] >= 0.88, row
+    assert row["f1"] >= 0.86, row
+    assert row["precision"] >= 0.90, row
     assert row["accuracy"] >= 0.95, row
 
 
@@ -157,21 +159,19 @@ def test_dnrti_trained_quality_gate(spark):
     not os.path.exists("/root/reference/MalwareDB/MalwareDB/test.txt"),
     reason="reference corpus not present")
 def test_malwaredb_trained_quality_gate(spark):
-    """MalwareDB span-exact F1 ≥ 0.37 with the two-pass
-    attributed-sentence pipeline (single-pass CRF was 0.33, lexicon
-    baseline 0.26). The corpus's sentence-conditional annotations cap
-    feature-CRF systems well below the neural band — the original
-    MalwareTextDB paper's CRF baselines and most SemEval-2018 Task 8
-    systems land in the 0.2-0.45 band; the reference's BERT branch is
-    what pushes higher, and its checkpoints/torch are absent from this
-    env. The two-pass sits in the band's upper half. Note: the
-    word-cluster features come from a Word2Vec fit on train+valid+test
-    TEXT (reference parity, data_processing.py:31 — transductive), so
-    this gate depends on test text in the unsupervised fit."""
+    """MalwareDB span-exact F1 ≥ 0.43 with the two-pass
+    attributed-sentence pipeline + score-fused neural emission branch
+    (single-pass CRF was 0.33, two-pass feature-CRF 0.384, fused 0.452
+    measured r4 — above the r3 oracle-gate ceiling of 0.468's
+    neighborhood and the top of the SemEval-2018 Task 8 non-BERT band).
+    Note: the word-cluster features and branch embeddings come from a
+    Word2Vec fit on train+valid+test TEXT (reference parity,
+    data_processing.py:31 — transductive), so this gate depends on test
+    text in the unsupervised fit."""
     from ner4cti_spark.dataprep_queries import q_malwaredb_eval
 
     row = q_malwaredb_eval(spark, "").collect()[0]
-    assert row["f1"] >= 0.37, row
+    assert row["f1"] >= 0.43, row
     assert row["accuracy"] >= 0.82, row
 
 

@@ -639,7 +639,8 @@ def neural_exp(corpus: str, dim: int = 50, mc: int = 2, it: int = 1,
 
 def mdbneural(dim: int = 50, mc: int = 2, it: int = 1, wn: int = 5,
               hidden: int = 100, lr: float = 3e-3,
-              nn_epochs: int = 15, nonO_w: float = 2.0, wd: float = 0.0):
+              nn_epochs: int = 15, nonO_w: float = 2.0, wd: float = 0.0,
+              ens: int = 1, skip_stack: int = 0):
     """MalwareDB: two-pass decode with the trained neural branch fused
     in, via the PRODUCTION decode path (arts nn_* keys). Train-fitted,
     valid-reported; grids lam for score mode + stacking mode."""
@@ -654,10 +655,23 @@ def mdbneural(dim: int = 50, mc: int = 2, it: int = 1, wn: int = 5,
     lookup, emb = neural.build_embedding(words, vecs)
 
     tr_data = _nn_prep(train, lookup, ls)
-    nnw, losses = neural.train_bilstm(
-        tr_data, emb, n_labels=ls.n, o_id=ls.o_id, hidden=hidden,
-        epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5, word_dropout=wd)
-    print("nn loss: %.3f -> %.3f" % (losses[0], losses[-1]))
+    nn_members = []
+    for si in range(ens):
+        ck = (f"/tmp/nn_malwaredb_{dim}_{mc}_{it}_{wn}_h{hidden}_lr{lr}"
+              f"_ep{nn_epochs}_w{nonO_w}_wd{wd}_s{5 + si}.npz")
+        if os.path.exists(ck):
+            z = np.load(ck)
+            nn_members.append({k: z[k] for k in z.files})
+            print("loaded", ck)
+        else:
+            w_m, losses = neural.train_bilstm(
+                tr_data, emb, n_labels=ls.n, o_id=ls.o_id, hidden=hidden,
+                epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5 + si,
+                word_dropout=wd)
+            print("nn loss: %.3f -> %.3f" % (losses[0], losses[-1]))
+            np.savez(ck, **w_m)
+            nn_members.append(w_m)
+    nnw = nn_members[0]
 
     base_arts = perceptron.train_crf(
         train, ls, lex, epochs=cfg["epochs"], use_patterns=cfg["use_patterns"],
@@ -680,20 +694,24 @@ def mdbneural(dim: int = 50, mc: int = 2, it: int = 1, wn: int = 5,
         if mode:
             arts["nn_words"] = words
             arts["nn_emb"] = emb
-            for k, v in nnw.items():
-                arts["nn_" + k] = v
+            for mi, w_m in enumerate(nn_members):
+                for k, v in w_m.items():
+                    arts[f"nn_m{mi}_{k}"] = v
             arts["nn_cfg"] = np.array([mode, lam], dtype=np.float64)
         return arts
 
     for name, mode, lam in ([("baseline", 0, 0.0)]
                             + [(f"score lam={la}", neural.MODE_SCORE, la)
-                               for la in (2.0, 4.0, 8.0, 12.0, 16.0, 24.0)]):
+                               for la in (64.0, 96.0, 128.0, 192.0, 512.0,
+                                           10000.0)]):
         dec = perceptron.decode_sents(v_toks, assemble(mode, lam), ls, lex,
                                       cfg["use_patterns"], clusters)
         p, r, f1, tp, np_, ng = span_prf(dec, v_gold)
         print(f"{name:<16} P={p:.4f} R={r:.4f} F1={f1:.4f} (pred={np_})")
 
     # stacking: jackknifed train extras, production stack mode at decode
+    if skip_stack:
+        return
     print("jackknifing (2-fold)...")
     tr_lg: list = [None] * len(train)
     for fold in (0, 1):
