@@ -1109,6 +1109,30 @@ def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+# one cached (vec_id, e) scan per corpus, shared by the Lloyd fit's
+# per-iteration reads AND the final search — same module-handle
+# discipline as _SHINGLE_CACHE (no per-call persist leak; repeated
+# embedding_ivf calls keep the persistent-RDD count flat, regression-
+# tested in tests/test_dataprep_cache.py)
+_IVF_EMB_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVF_EMB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).persist()
+    for old_key, old_df in list(_IVF_EMB_CACHE.items()):
+        if old_key[0] == key[0]:
+            old_df.unpersist(blocking=False)
+        del _IVF_EMB_CACHE[old_key]
+    _IVF_EMB_CACHE[key] = out
+    return out
+
+
 def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame, c: int) -> DataFrame:
     """Deterministic distributed Lloyd fit of the coarse quantizer:
     init = the C lowest-vec_id vectors (a fixed seed, so both engines
@@ -1120,8 +1144,9 @@ def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame, c: int) -> DataFrame
     the driver, assignment and the update aggregation are distributed).
     Means are rounded to 1e-6 so the DuckDB oracle — whose aggregation
     order differs — reproduces the centroids bit-for-bit. Empty cells
-    keep their previous centroid. The caller persists emb for the
-    fit's lifetime (and unpersists it — no per-call cache leak)."""
+    keep their previous centroid. emb is the module-cached scan
+    (_ivf_embeddings) — the fit's per-iteration reads and the final
+    search share one persisted copy, with no per-call cache leak."""
     cent = emb.filter(F.col("vec_id") < c).select(
         F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
     )
@@ -1158,16 +1183,9 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list join partitions by cell id. The DuckDB oracle unrolls
     the identical fixed-iteration fit, so centroids — and therefore
     posting lists and results — match exactly."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    # persist for the Lloyd fit's lifetime only: the count below both
-    # derives C and materializes the cache; the fit collects eagerly
-    # each iteration, so by unpersist time every cached read is done
-    emb = emb.persist()
+    emb = _ivf_embeddings(spark, sf_dir)
     c = _ivf_c(emb.count())
     cent = _ivf_fit_centroids(spark, emb, c)
-    emb.unpersist()
     assign = _ivf_assign(emb, cent)
     queries = emb.filter(
         (F.col("vec_id") >= c) & (F.col("vec_id") < c + 4)
