@@ -149,7 +149,13 @@ class TaggerKernel:
           gate-fused into the word embedding
           (security_augmentation.py:86-126)."""
         w = self.w
-        missing = [t for t in tokens if t not in self._feat_cache]
+        # snapshot the rows this call needs BEFORE any cache eviction:
+        # the bounded-size clear below must not invalidate tokens already
+        # gathered for THIS batch (crash seen at 100k-doc scale: a kernel
+        # crossing the cache bound evicted the pad token mid-call and the
+        # final stack raised KeyError — works-at-small-SF, dies-at-scale)
+        rows = {t: self._feat_cache[t] for t in tokens if t in self._feat_cache}
+        missing = [t for t in tokens if t not in rows]
         if missing:
             wid = nn.stable_hash_ids(np.array(missing, dtype=object), self.word_vocab)
             word_v = w["word_emb"][wid]                                  # (N,50)
@@ -182,11 +188,12 @@ class TaggerKernel:
             pos_id = np.array([pos.upos_id(t) for t in missing], dtype=np.int64)
             pos_v = w["pos_emb"][pos_id % w["pos_emb"].shape[0]]
             feats = np.concatenate([word_v, char_v, pos_v, case_v], axis=-1).astype(np.float32)
-            if len(self._feat_cache) > 500_000:
+            if len(self._feat_cache) > self.FEAT_CACHE_MAX:
                 self._feat_cache.clear()
             for i, t in enumerate(missing):
                 self._feat_cache[t] = feats[i]
-        return np.stack([self._feat_cache[t] for t in tokens])
+                rows[t] = feats[i]
+        return np.stack([rows[t] for t in tokens])
 
     def _wordpiece_char_vecs(self, tokens: list[str]) -> np.ndarray:
         """A8: char-CNN per wordpiece, mean-pooled back to tokens."""
