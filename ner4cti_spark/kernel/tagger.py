@@ -274,6 +274,10 @@ class TaggerKernel:
     #              bandwidth-bound when many workers run per box
     #              (measured best under 16-32-worker concurrency)
 
+    FEAT_CACHE_MAX = 500_000  # bound on _feat_cache entries before a full
+    #              clear — per-executor-task memory cap for the fused
+    #              feature rows (98-dim float32 ≈ 400 B each → ~200 MB)
+
     def tag(self, sents: list[list[str]]) -> tuple[list[list[str]], np.ndarray]:
         """Batch decode → (BIO tag lists aligned 1:1 with tokens, scores).
 

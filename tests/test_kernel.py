@@ -187,6 +187,22 @@ def test_sentence_cache_does_not_change_output():
     assert np.allclose(sc_on, sc_off)
 
 
+def test_feat_cache_eviction_bound_is_enforced():
+    """Regression for the r4 snapshot crash: FEAT_CACHE_MAX must exist as a
+    class attribute and the eviction clear must not corrupt the current
+    batch (rows snapshotted before the clear)."""
+    k = TaggerKernel(build_weights())
+    assert isinstance(TaggerKernel.FEAT_CACHE_MAX, int)
+    k.FEAT_CACHE_MAX = 4  # force eviction on a tiny vocabulary
+    sents = [["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]]
+    tags_a, sc_a = k.tag(sents)          # crosses the bound mid-call
+    assert len(k._feat_cache) <= 4 + len(sents[0])
+    k2 = TaggerKernel(build_weights())   # default bound, no eviction
+    tags_b, sc_b = k2.tag(sents)
+    assert tags_a == tags_b
+    assert np.allclose(sc_a, sc_b)
+
+
 def test_stem_fallback_matches_morphological_variants():
     """Opt-in recall-leaning mode: stemmed lexicon fallback. Measured on
     the reference corpora: MalwareDB span R +4.3pp / P -3pp (F1 +.004),
