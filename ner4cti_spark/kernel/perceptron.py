@@ -262,10 +262,16 @@ def train_sentence_clf(sents: list[tuple[list[str], list[str]]], phrases: dict,
          1.0 if any(x != "O" for x in g) else -1.0)
         for t, g in kept
     ]
-    if dense is not None:
+    want_dense = dense is not None
+    if want_dense:
+        if len(dense) != len(sents):
+            raise ValueError(
+                f"dense has {len(dense)} rows for {len(sents)} sentences"
+            )
         dense = [d for (t, _g), d in zip(sents, dense) if t]
-        assert len(dense) == len(feats)
-        dd = len(dense[0])
+        dd = len(dense[0]) if dense else 0
+        if not dense:  # every sentence empty: nothing to fit against —
+            dense = None  # train sparse-only, return zero dense weights
         wd = np.zeros(dd, dtype=np.float64)
         wda = np.zeros(dd, dtype=np.float64)
     t_step = 0
@@ -282,7 +288,7 @@ def train_sentence_clf(sents: list[tuple[list[str], list[str]]], phrases: dict,
                     wd += step * dense[i]
                     wda += step * t_step * dense[i]
     w_out = (w - wa / max(t_step, 1)).astype(np.float32)
-    if dense is not None:
+    if want_dense:
         return w_out, (wd - wda / max(t_step, 1)).astype(np.float32)
     return w_out
 
@@ -679,24 +685,24 @@ def save_artifact(path: str, arts: dict[str, np.ndarray],
         if k.startswith("nn_") and k != "nn_words":
             payload[k] = v
     if "nn_words" in arts:
-        payload["nn_words"] = np.array(arts["nn_words"], dtype=object)
+        payload["nn_words"] = np.array(arts["nn_words"], dtype=np.str_)
     np.savez_compressed(
         path,
         sp_trans=arts["sp_trans"],
         sp_meta=arts["_sp_meta"],
-        lex_keys=np.array([" ".join(k) for k in keys], dtype=object),
-        lex_etype=np.array([phrases[k][0] for k in keys], dtype=object),
-        lex_canon=np.array([phrases[k][1] for k in keys], dtype=object),
-        cl_words=np.array(cwords, dtype=object),
+        lex_keys=np.array([" ".join(k) for k in keys], dtype=np.str_),
+        lex_etype=np.array([phrases[k][0] for k in keys], dtype=np.str_),
+        lex_canon=np.array([phrases[k][1] for k in keys], dtype=np.str_),
+        cl_words=np.array(cwords, dtype=np.str_),
         cl_coarse=np.array([clusters[w][0] for w in cwords], dtype=np.int32),
         cl_fine=np.array([clusters[w][1] for w in cwords], dtype=np.int32),
-        etypes=np.array(etypes, dtype=object),
+        etypes=np.array(etypes, dtype=np.str_),
         **payload,
     )
 
 
 def load_artifact(path: str) -> tuple[dict[str, np.ndarray], dict, list[str]]:
-    z = np.load(path, allow_pickle=True)
+    z = np.load(path, allow_pickle=False)
     arts = {
         "sp_w": _densify(z["idx"], z["val"], z["shape"]),
         "sp_trans": z["sp_trans"],

@@ -89,6 +89,16 @@ class TaggerKernel:
         self._wp_vocab: dict[str, int] | None = None
         self._sent_cache: dict[tuple[str, ...], tuple[list[str], float]] = {}
         self._sent_cache_on = sent_cache
+        # trained neural branch: resolved lazily ONCE per kernel — the
+        # vocab→row lookup dict inside is O(vocab) to rebuild, far too
+        # much to repeat per 128-sentence chunk
+        self._neural_branch: tuple | None | bool = False  # False = unresolved
+
+    def _branch(self):
+        if self._neural_branch is False:
+            from . import neural
+            self._neural_branch = neural.branch_from_arts(self.w)
+        return self._neural_branch
 
     # ---------------- emissions ----------------
 
@@ -379,7 +389,7 @@ class TaggerKernel:
         use_patterns = bool(self.w["_sp_meta"][1]) if "_sp_meta" in self.w else self.use_patterns
         clusters = self.w.get("_sp_clusters")
         mask_t, em_mask, first_mask = P._decode_masks(self.ls)
-        nb = neural.branch_from_arts(self.w)
+        nb = self._branch()
         B = len(sents)
         feats_by_sent: list[np.ndarray | None] = [None] * B
         nn_add_by_sent: list[np.ndarray | None] = [None] * B

@@ -263,11 +263,28 @@ def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
         ]
     nn_arts = None
     extras = None
-    if ncfg and not distributed:
+    if ncfg:
         import numpy as np
 
         from .kernel import neural
 
+        if distributed:
+            # the branch fits driver-side either way (5k-sentence
+            # artifact production, not corpus-proportional) — collect
+            # the split here just as the two-pass block does. MODE_STACK
+            # is the one genuinely incompatible combination: stacked
+            # prediction features change the CRF feature space, and the
+            # distributed CRF above was already trained without them.
+            if int(ncfg["mode"]) == neural.MODE_STACK:
+                raise ValueError(
+                    "neural mode=stack requires the driver-side CRF "
+                    "trainer (jackknifed features enter CRF training); "
+                    "use mode=score with distributed=True"
+                )
+            sents = [
+                (list(r["tokens"]), list(r["tags"]))
+                for r in train.select("tokens", "tags").collect()
+            ]
         nn_arts, emb, lookup, _nnw = _neural_branch(spark, corpus, sents, ls, ncfg)
         if int(ncfg["mode"]) == neural.MODE_STACK:
             # jackknifed branch predictions as training features (a

@@ -92,6 +92,26 @@ def test_artifact_roundtrip(tmp_path):
             == P.decode_sents(toks, arts2, LS, phrases2, False, clusters))
 
 
+def test_artifacts_are_pickle_free(tmp_path):
+    """All npz artifacts — fresh saves AND the committed corpus bundles —
+    must load with allow_pickle=False (one loader contract, no local
+    deserialization surface): string arrays are fixed-width unicode."""
+    sents = _toy_corpus(20)
+    phrases = {("alpha", "beta"): ("X", "alpha beta")}
+    arts = P.train_crf(sents, LS, phrases, epochs=1, use_patterns=False)
+    path = os.path.join(tmp_path, "pf.npz")
+    P.save_artifact(path, arts, phrases, LS.etypes)
+    with np.load(path, allow_pickle=False) as z:
+        assert z["lex_keys"].dtype.kind == "U"
+        assert z["etypes"].dtype.kind == "U"
+    art_dir = os.path.join(os.path.dirname(P.__file__), "..", "artifacts")
+    for corpus in ("dnrti", "malwaredb"):
+        p = os.path.join(art_dir, f"{corpus}_crf.npz")
+        if os.path.exists(p):
+            arts2, phrases2, etypes2 = P.load_artifact(p)  # pickle-free loader
+            assert arts2["sp_w"].size and phrases2 and etypes2
+
+
 def test_kernel_trained_path_matches_decode_sents():
     from ner4cti_spark.kernel.tagger import TaggerKernel
     from ner4cti_spark.kernel.weights import build_weights

@@ -26,7 +26,7 @@ def dump(corpus: str, dim: int, min_count: int = 2, max_iter: int = 1,
     rows = _word_vectors(spark, corpus, dim=dim, seed=42,
                          min_count=min_count, max_iter=max_iter,
                          window=window).collect()
-    words = np.array([r["word"] for r in rows], dtype=object)
+    words = np.array([r["word"] for r in rows], dtype=np.str_)
     vecs = np.array([list(r["vector"]) for r in rows], dtype=np.float32)
     out = f"/tmp/ner4cti_w2v_{corpus}_{dim}_mc{min_count}_it{max_iter}_w{window}.npz"
     np.savez_compressed(out, words=words, vecs=vecs)
