@@ -382,6 +382,42 @@ def sent_logprob(tokens: list[str], members: list[dict], emb: np.ndarray,
     return log_softmax(np.mean(lps, axis=0))
 
 
+def batch_logprob(sents: list[list[str]], members: list[dict],
+                  emb: np.ndarray, lookup: dict[str, int]
+                  ) -> list[np.ndarray]:
+    """Per-sentence (T_i, L) ensemble log-probabilities for a whole
+    chunk — the same math as sent_logprob, batched across EXACT-LENGTH
+    groups so each member forward is one (G,T) GEMM sequence instead of
+    per-sentence ones (measured: the branch was 91% of trained tag time
+    per-sentence). Exact-length grouping means no padding, so the
+    reverse LSTM direction never sees pad steps and the result matches
+    the per-sentence path (parity-tested)."""
+    from .tagger import casing_class
+
+    out: list[np.ndarray | None] = [None] * len(sents)
+    n_labels = members[0]["em_b"].shape[0]
+    groups: dict[int, list[int]] = {}
+    for i, s in enumerate(sents):
+        groups.setdefault(len(s), []).append(i)
+    for T, idxs in groups.items():
+        if T == 0:
+            for i in idxs:
+                out[i] = np.zeros((0, n_labels), dtype=np.float64)
+            continue
+        wid = np.stack([sent_ids(sents[i], lookup) for i in idxs])
+        cas = np.stack([
+            np.array([casing_class(t) for t in sents[i]], dtype=np.int64)
+            for i in idxs
+        ])
+        x = input_features(wid, cas, emb)
+        lps = [log_softmax(forward_logits(x, w).astype(np.float64))
+               for w in members]
+        lp = log_softmax(np.mean(lps, axis=0))
+        for j, i in enumerate(idxs):
+            out[i] = lp[j]
+    return out
+
+
 def stack_extra(logits: np.ndarray, id2label: dict[int, str]
                 ) -> list[tuple[str, str, str, str]]:
     """Stacked feature strings for one sentence (mode 2): branch argmax

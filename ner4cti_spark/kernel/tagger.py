@@ -395,14 +395,20 @@ class TaggerKernel:
         nn_add_by_sent: list[np.ndarray | None] = [None] * B
         em = np.zeros((B, T, L), dtype=np.float32)
         em += em_mask[None, None, :]
+        lps = None
+        if nb is not None:
+            members, nemb, nlook, nmode, nlam = nb
+            lps = neural.batch_logprob(
+                [sents[b][: int(lengths[b])] for b in range(B)],
+                members, nemb, nlook,
+            )
         for b, sent in enumerate(sents):
             n = int(lengths[b])
             if n == 0:
                 continue
             ex = None
             if nb is not None:
-                members, nemb, nlook, nmode, nlam = nb
-                lp = neural.sent_logprob(sent[:n], members, nemb, nlook)
+                lp = lps[b]
                 if nmode == neural.MODE_STACK:
                     ex = neural.stack_extra(lp, self.ls.id2label)
                 elif nmode == neural.MODE_SCORE:

@@ -193,6 +193,32 @@ def test_branch_decode_parity_and_artifact_roundtrip(mode, lam, tmp_path):
         assert [t[1] for t in want] == ["B-X", "B-Y", "B-X"], want
 
 
+def test_batch_logprob_matches_per_sentence():
+    """batch_logprob (exact-length-grouped batched forward, the chunk
+    path) must reproduce sent_logprob per sentence — including empty
+    sentences and mixed lengths in one chunk."""
+    arts, ls, sents = _toy_branch_bundle()
+    arts["nn_cfg"] = np.array([neural.MODE_SCORE, 4.0], dtype=np.float64)
+    members, emb, lookup, _m, _l = neural.branch_from_arts(arts)
+    toks = [
+        ["alpha", "nx3", "does", "beta"],
+        [],
+        ["alpha", "ny7"],
+        ["beta", "nx11", "does", "alpha"],   # same length as the first
+        ["gamma"],
+    ]
+    batched = neural.batch_logprob(toks, members, emb, lookup)
+    for t, lp in zip(toks, batched):
+        assert lp.shape == (len(t), ls.n)
+        if t:
+            # float32 GEMM blocking differs between (G·T,D) and (T,D)
+            # shapes — ~1e-6 drift is inherent to batching; the decode
+            # parity test asserts the TAGS are identical
+            np.testing.assert_allclose(
+                lp, neural.sent_logprob(t, members, emb, lookup),
+                rtol=0, atol=1e-5)
+
+
 def test_sent_ids_lowercase_fallback():
     lookup = {"apt28": 3, "Malware": 7, "malware": 4}
     ids = neural.sent_ids(["APT28", "Malware", "MALWARE", "zzz"],
