@@ -98,6 +98,20 @@ def _jaccard_rescore(cand: DataFrame, sh_arr: DataFrame) -> DataFrame:
     )
 
 
+def _dot(a, b):
+    """Fold-based dot product of two array<double> columns (the shared
+    numerator of _cosine — exposed for callers that precompute norms)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def _norm(a):
+    """Euclidean norm of an array<double> column, the same fold _cosine
+    uses — bit-identical when precomputed once and reused."""
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda s, x: s + x))
+
+
 def _cosine(a, b):
     """Exact double-precision cosine of two array<double> columns — the
     one shared implementation for every similarity query (fold-based dot
@@ -1096,16 +1110,26 @@ _COS = """(list_dot_product({a}, {b})
 
 
 def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, cent_id): nearest cell by cosine — one narrow map over
-    the broadcast centroid table, ties broken by cent_id."""
-    sim_vc = _cosine(F.col("e"), F.col("c"))
-    w_v = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cent_id"))
+    """(vec_id, cent_id, e): nearest cell by cosine. One broadcast join
+    + one map-side-combining argmax agg: max_by over (s, -cent_id) is
+    exactly the row_number(desc s, asc cent_id)=1 pick, without the
+    window's sort shuffle. The vector rides along so downstream stages
+    (mean update, posting-list scoring) need no re-join against emb —
+    one wide shuffle beats an extra join at scale."""
+    sim_vc = _dot(F.col("e"), F.col("c")) / (F.col("ne") * F.col("nc"))
     return (
         emb.join(F.broadcast(cent))
-        .select("vec_id", "cent_id", sim_vc.alias("s"))
-        .withColumn("rk", F.row_number().over(w_v))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cent_id")
+        .select("vec_id", "e", "ne", "cent_id", sim_vc.alias("s"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("s").alias("s"),
+                         (-F.col("cent_id")).alias("tb")),
+            ).alias("cent_id"),
+            F.first("e").alias("e"),
+            F.first("ne").alias("ne"),
+        )
     )
 
 
@@ -1122,9 +1146,23 @@ def _ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _IVF_EMB_CACHE.get(key)
     if hit is not None:
         return hit
-    out = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).persist()
+    e = F.col("embedding").cast("array<double>")
+    out = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", e.alias("e"),
+            # vector norm computed ONCE per corpus here, not per pair in
+            # the O(n·C) assign: higher-order-function lambdas run
+            # interpreted, so redundant per-pair norm folds dominated
+            # the fit stage
+            _norm(e).alias("ne"),
+        )
+        # small-file parquet arrives as one partition; the per-pair
+        # similarity math must spread across cores (at real scale the
+        # scan is many-partition already — this is the local analog)
+        .repartition(max(4, spark.sparkContext.defaultParallelism // 2), "vec_id")
+        .persist()
+    )
     for old_key, old_df in list(_IVF_EMB_CACHE.items()):
         if old_key[0] == key[0]:
             old_df.unpersist(blocking=False)
@@ -1148,13 +1186,17 @@ def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame, c: int) -> DataFrame
     (_ivf_embeddings) — the fit's per-iteration reads and the final
     search share one persisted copy, with no per-call cache leak."""
     cent = emb.filter(F.col("vec_id") < c).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("c"),
+        F.col("ne").alias("nc"),
     )
+    # previous centroids tracked driver-side (C×dim doubles): one
+    # distributed job per iteration (the upd collect), not two
+    prev = {r["cent_id"]: list(r["c"])
+            for r in cent.select("cent_id", "c").collect()}
     for _ in range(_IVF_ITERS):
         assign = _ivf_assign(emb, cent)
         upd = (
-            assign.join(emb, "vec_id")
-            .select("cent_id", F.posexplode("e").alias("pos", "v"))
+            assign.select("cent_id", F.posexplode("e").alias("pos", "v"))
             .groupBy("cent_id", "pos")
             .agg((F.floor(F.avg("v") * 1e6 + 0.5) / 1e6).alias("m"))
             .groupBy("cent_id")
@@ -1166,9 +1208,10 @@ def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame, c: int) -> DataFrame
             )
         )
         new_c = {r["cent_id"]: list(r["c"]) for r in upd.collect()}
-        prev = {r["cent_id"]: list(r["c"]) for r in cent.collect()}
-        rows = [(cid, new_c.get(cid, prev[cid])) for cid in sorted(prev)]
-        cent = spark.createDataFrame(rows, "cent_id long, c array<double>")
+        prev = {cid: new_c.get(cid, prev[cid]) for cid in sorted(prev)}
+        cent = spark.createDataFrame(
+            sorted(prev.items()), "cent_id long, c array<double>"
+        ).withColumn("nc", _norm(F.col("c")))
     return cent
 
 
@@ -1189,25 +1232,26 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = _ivf_assign(emb, cent)
     queries = emb.filter(
         (F.col("vec_id") >= c) & (F.col("vec_id") < c + 4)
-    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("q"))
-    sim_qc = _cosine(F.col("q"), F.col("c"))
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("q"),
+             F.col("ne").alias("nq"))
+    sim_qc = _dot(F.col("q"), F.col("c")) / (F.col("nq") * F.col("nc"))
     w_q = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cent_id"))
     probes = (
         queries.join(F.broadcast(cent))
-        .select("query_id", "cent_id", sim_qc.alias("s"))
+        .select("query_id", "cent_id", "nq", sim_qc.alias("s"))
         .withColumn("rk", F.row_number().over(w_q))
         .filter(F.col("rk") <= _IVF_NPROBE)
-        .select("query_id", "cent_id")
+        .select("query_id", "cent_id", "nq")
     )
     cand = (
-        probes.join(assign, "cent_id")
+        F.broadcast(probes).join(assign, "cent_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
+        .select("query_id", "vec_id", "e", "ne", "nq")
     )
-    sim_qe = _cosine(F.col("q"), F.col("e"))
+    sim_qe = _dot(F.col("q"), F.col("e")) / (F.col("nq") * F.col("ne"))
     w_top = W.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
     return (
-        cand.join(queries, "query_id").join(emb, "vec_id")
+        cand.join(F.broadcast(queries.select("query_id", "q")), "query_id")
         .select("query_id", "vec_id", sim_qe.alias("sim_raw"))
         .withColumn("rank", F.row_number().over(w_top))
         .filter(F.col("rank") <= _IVF_TOPK)
