@@ -55,12 +55,22 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFra
     docs = load(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-    out = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(ws, i + F.lit(1), F.lit(n)), " "))
-        ).alias("shs"),
-    ).persist()
+    out = (
+        docs
+        # small-file parquet arrives as ONE partition, and the shingle
+        # transform is interpreted higher-order-function work (~hundreds
+        # of slice/join ops per doc) — spread it before persisting or the
+        # whole dedup family bottlenecks on one core (same pathology as
+        # the IVF scan; at real scale the scan is many-partition already)
+        .repartition(max(4, spark.sparkContext.defaultParallelism // 2), "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_join(F.slice(ws, i + F.lit(1), F.lit(n)), " "))
+            ).alias("shs"),
+        )
+        .persist()
+    )
     # at most one corpus cached at a time: evict (and free) other
     # shingle entries (simhash entries use n == -1 and evict separately)
     for old_key, old_df in list(_SHINGLE_CACHE.items()):

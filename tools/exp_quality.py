@@ -749,6 +749,73 @@ def mdbneural(dim: int = 50, mc: int = 2, it: int = 1, wn: int = 5,
     print(f"{'stacked':<16} P={p:.4f} R={r:.4f} F1={f1:.4f} (pred={np_})")
 
 
+def mdbgate(dim: int = 256, mc: int = 2, it: int = 5, wn: int = 3,
+            hidden: int = 100, lr: float = 3e-3, nn_epochs: int = 45,
+            nonO_w: float = 2.0, wd: float = 0.1, ens: int = 3,
+            lam: float = 192.0):
+    """GATE_M_TAU sweep for the FUSED MalwareDB two-pass decode
+    (VERDICT r4 #7): the attribution-gate margin threshold (40.0) was
+    valid-selected before the neural branch changed the emission scale
+    (e += lam·logprob, lam=192 — margins are now much larger). Builds
+    the same train-fitted assembly as mdbneural (cached members), then
+    sweeps P.GATE_M_TAU on valid via the production decode path."""
+    from ner4cti_spark.kernel import neural
+
+    cfg = CORPORA["malwaredb"]
+    ls = LabelSpace(cfg["etypes"])
+    train, valid, _test = load_corpus("malwaredb")
+    arts0, lex, _ = load_artifact_bits("malwaredb")
+    clusters = arts0.get("_sp_clusters")
+    words, vecs = _load_vecs("malwaredb", dim, mc, it, wn)
+    lookup, emb = neural.build_embedding(words, vecs)
+    nn_members = []
+    for si in range(ens):
+        ck = (f"/tmp/nn_malwaredb_{dim}_{mc}_{it}_{wn}_h{hidden}_lr{lr}"
+              f"_ep{nn_epochs}_w{nonO_w}_wd{wd}_s{5 + si}.npz")
+        if os.path.exists(ck):
+            z = np.load(ck)
+            nn_members.append({k: z[k] for k in z.files})
+        else:
+            tr_data = _nn_prep(train, lookup, ls)
+            w_m, _ = neural.train_bilstm(
+                tr_data, emb, n_labels=ls.n, o_id=ls.o_id, hidden=hidden,
+                epochs=nn_epochs, lr=lr, nonO_weight=nonO_w, seed=5 + si,
+                word_dropout=wd)
+            np.savez(ck, **w_m)
+            nn_members.append(w_m)
+
+    arts = perceptron.train_crf(
+        train, ls, lex, epochs=cfg["epochs"], use_patterns=cfg["use_patterns"],
+        cost=cfg["cost"], miss_cost=cfg["miss_cost"], clusters=clusters)
+    attr_arts = perceptron.train_crf(
+        _attr(train), ls, lex, epochs=cfg["attr_epochs"],
+        use_patterns=cfg["use_patterns"], cost=cfg["cost"],
+        miss_cost=cfg["miss_cost"], clusters=clusters)
+    arts["sp2_w"] = attr_arts["sp_w"]
+    arts["sp2_trans"] = attr_arts["sp_trans"]
+    arts["clf_w"] = perceptron.train_sentence_clf(
+        train, lex, clusters=clusters, pos_w=cfg["clf_pos_w"])
+    arts["nn_words"] = words
+    arts["nn_emb"] = emb
+    for mi, w_m in enumerate(nn_members):
+        for k, v in w_m.items():
+            arts[f"nn_m{mi}_{k}"] = v
+    arts["nn_cfg"] = np.array([neural.MODE_SCORE, lam], dtype=np.float64)
+
+    v_toks = [t for t, _ in valid]
+    v_gold = [g for _, g in valid]
+    tau0 = perceptron.GATE_M_TAU
+    try:
+        for tau in (0.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0, 640.0, 1e9):
+            perceptron.GATE_M_TAU = tau
+            dec = perceptron.decode_sents(v_toks, arts, ls, lex,
+                                          cfg["use_patterns"], clusters)
+            p, r, f1, tp, np_, ng = span_prf(dec, v_gold)
+            print(f"tau={tau:<8g} P={p:.4f} R={r:.4f} F1={f1:.4f} (pred={np_})")
+    finally:
+        perceptron.GATE_M_TAU = tau0
+
+
 def mdbclf(dim: int = 50, mc: int = 2, it: int = 1, wn: int = 5,
            pos_w: float = 3.0):
     """MalwareDB attribution classifier: sparse features vs sparse +
@@ -840,9 +907,10 @@ if __name__ == "__main__":
             k, v = a.split("=")
             kw[k] = float(v) if "." in v or "e" in v else int(v)
         neural_exp(sys.argv[2], **kw)
-    elif cmd in ("mdbclf", "mdbneural"):
+    elif cmd in ("mdbclf", "mdbneural", "mdbgate"):
         kw = {}
         for a in sys.argv[2:]:
             k, v = a.split("=")
             kw[k] = float(v) if "." in v or "e" in v else int(v)
-        (mdbclf if cmd == "mdbclf" else mdbneural)(**kw)
+        {"mdbclf": mdbclf, "mdbneural": mdbneural,
+         "mdbgate": mdbgate}[cmd](**kw)

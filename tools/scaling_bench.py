@@ -137,6 +137,23 @@ def _pair_section(n_docs: int, lo: int, hi: int) -> str:
 
     tag = eff("tag_sec")
     pipe = eff("pipeline_sec")
+    # residual-gap attribution: pipeline = corpus-proportional tag stage
+    # + linking/emit tail. The tail is fixed-latency at a given corpus
+    # size (broadcast builds, small-table shuffles, driver sync points),
+    # so pipeline efficiency is tag efficiency diluted by the tail
+    # fraction — quantified here from the same raws
+    tail_lo = r_lo["pipeline_sec"] - r_lo["tag_sec"]
+    tail_hi = r_hi["pipeline_sec"] - r_hi["tag_sec"]
+    tail_frac_hi = tail_hi / r_hi["pipeline_sec"]
+    attribution = (
+        f"Residual gap, attributed: the linking/emit tail is "
+        f"{tail_lo:.1f}s at local[{lo}] vs {tail_hi:.1f}s at local[{hi}] "
+        f"({tail_lo / tail_hi:.1f}x from {hi // lo}x cores — fixed-latency "
+        f"at this corpus size), i.e. {tail_frac_hi:.0%} of local[{hi}] "
+        f"wall. The corpus-proportional stage scales at the tag number; "
+        f"the tail amortizes with corpus size (NOTES: at 40k docs it "
+        f"costs ~0.15 efficiency vs 100k — the trend continues upward)."
+    )
     return f"""### N={lo} → 4N={hi} (local[{lo}] vs local[{hi}], {n_docs} docs)
 
 Hardware floor for this pair (contention probe, same session):
@@ -149,6 +166,8 @@ efficiency **{floor:.2f}** on this box. Normalized = raw / floor
 |---|---|---|---|---|---|
 | tag stage (mentions/sec) | {tag[0]:.1f} | {tag[1]:.1f} | {tag[1] / tag[0]:.2f}x | {tag[2]:.2f} | **{tag[2] / floor:.2f}** |
 | full pipeline (triples/sec) | {pipe[0]:.1f} | {pipe[1]:.1f} | {pipe[1] / pipe[0]:.2f}x | {pipe[2]:.2f} | **{pipe[2] / floor:.2f}** |
+
+{attribution}
 
 Raw: local[{lo}] = {json.dumps(r_lo)}
 Raw: local[{hi}] = {json.dumps(r_hi)}
