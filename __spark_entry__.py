@@ -77,6 +77,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sessionize_events": (Q.q_sessionize_events, Q.SQL_SESSIONIZE_EVENTS),
     "topk_events_per_user": (Q.q_topk_events_per_user, Q.SQL_TOPK_EVENTS_PER_USER),
     "skipgram_pairs": (Q.q_skipgram_pairs, Q.SQL_SKIPGRAM_PAIRS),
+    "pos_skipgram_pairs": (Q.q_pos_skipgram_pairs, Q.SQL_POS_SKIPGRAM_PAIRS),
     "span_extract": (Q.q_span_extract_sql, Q.SQL_SPAN_EXTRACT),
     # §2.7 set ops
     "set_ops_tokens": (Q.q_set_ops_tokens, Q.SQL_SET_OPS_TOKENS),

@@ -505,6 +505,53 @@ SQL_SKIPGRAM_PAIRS = f"""
 """
 
 
+# ------------------------------------------- M13: POS skip-gram pair counts
+
+def q_pos_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 data side (POS_Embedding.py:60-73): (center_pos, context_pos)
+    skip-gram pair counts over the rule-based UPOS stream (F4). The POS
+    mapping is the generated `upos_case_sql` CASE — JVM-side codegen,
+    shared verbatim with the oracle. Window replicates the reference's
+    build_skip_grams exactly, including its asymmetric bound
+    (`range(max(0, i-w), min(i+w, n))` — j reaches i-3 but only i+2).
+
+    The ≤18×18 output is the sufficient statistic for the full-softmax
+    skip-gram fit (training.train_pos_embeddings): one corpus-scale
+    groupBy with map-side partials into 324 cells — the 100 TB shape.
+    """
+    from .kernel.pos import upos_case_sql
+
+    toks = _tokens(spark, sf_dir).withColumn("pos", F.expr(upos_case_sql("word")))
+    a, b = toks.alias("a"), toks.alias("b")
+    d = F.col("b.idx") - F.col("a.idx")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id")) & (d != 0)
+        & (d >= -3) & (d <= 2),
+    ).select(F.col("a.pos").alias("center_pos"), F.col("b.pos").alias("context_pos"))
+    return pairs.groupBy("center_pos", "context_pos").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _sql_pos_skipgram_pairs() -> str:
+    from .kernel.pos import upos_case_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, idx, {upos_case_sql("word")} AS pos FROM ({_TOKENS_SQL})
+    )
+    SELECT a.pos AS center_pos, b.pos AS context_pos, count(*) AS n
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.idx - a.idx <> 0
+     AND b.idx - a.idx >= -3 AND b.idx - a.idx <= 2
+    GROUP BY 1, 2
+"""
+
+
+SQL_POS_SKIPGRAM_PAIRS = _sql_pos_skipgram_pairs()
+
+
 # ------------------------------------------------------- U1/U2: set operations
 
 def q_set_ops_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

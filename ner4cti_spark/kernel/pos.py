@@ -99,3 +99,64 @@ def upos(tok: str) -> str:
 
 def upos_id(tok: str) -> int:
     return UPOS2ID[upos(tok)]
+
+
+# ---------------------------------------------------------------- SQL form
+
+_ALNUM = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_SYMCH = "$%+=<>|^~#&*@"
+
+
+def _sql_in(expr: str, words: set[str]) -> str:
+    lits = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+    return f"{expr} IN ({lits})"
+
+
+def _sql_suffix(expr: str, sufs: tuple[str, ...]) -> str:
+    return "(" + " OR ".join(f"{expr} LIKE '%{s}'" for s in sufs) + ")"
+
+
+def upos_case_sql(tok: str = "word") -> str:
+    """`upos()` as one ANSI-SQL CASE expression over column `tok`.
+
+    Generated from the SAME closed-class sets and suffix lists upos()
+    uses, preserving its branch order, so there is a single source of
+    truth. The string runs verbatim in Spark SQL (JVM-side, whole-stage
+    codegen — the corpus-scale POS mapping never enters Python) and in
+    DuckDB (the correctness oracle). Character-class tests use
+    translate() with explicit ASCII alphabets instead of Python's
+    unicode-aware str methods — identical on ASCII tokens (tested in
+    tests/test_pos_sql.py); non-ASCII letters fall to PUNCT/X here
+    where upos() may say NOUN. Integer arithmetic only: the digit-ratio
+    test n/len > 0.5 is expressed as 2*n > len, exact for ints.
+    """
+    lw = f"lower({tok})"
+    ln = f"length({tok})"
+    nd = f"({ln} - length(translate({tok}, '0123456789', '')))"
+    all_nonalnum = f"length(translate({tok}, '{_ALNUM}', '')) = {ln}"
+    has_sym = f"length(translate({tok}, '{_SYMCH}', '')) < {ln}"
+    non_alpha = f"length(translate({lw}, '{_LOWER}', '')) > 0"
+    first_upper = f"ascii({tok}) BETWEEN 65 AND 90"
+    branches = [
+        (f"{tok} IS NULL OR {ln} = 0", "'[PAD]'"),
+        (all_nonalnum, f"(CASE WHEN {has_sym} THEN 'SYM' ELSE 'PUNCT' END)"),
+        (f"{nd} * 2 > {ln}", "'NUM'"),
+        (_sql_in(lw, _DET), "'DET'"),
+        (_sql_in(lw, _ADP), "'ADP'"),
+        (_sql_in(lw, _PRON), "'PRON'"),
+        (_sql_in(lw, _CCONJ), "'CCONJ'"),
+        (_sql_in(lw, _SCONJ), "'SCONJ'"),
+        (_sql_in(lw, _AUX), "'AUX'"),
+        (f"{_sql_in(lw, _ADV)} OR ({lw} LIKE '%ly' AND {ln} > 4)", "'ADV'"),
+        (_sql_in(lw, _PART), "'PART'"),
+        (_sql_in(lw, _INTJ), "'INTJ'"),
+        (f"{nd} > 0 OR {non_alpha}", "'X'"),
+        (first_upper, "'PROPN'"),
+        (f"({lw} LIKE '%ing' OR {lw} LIKE '%ed') AND {ln} > 4", "'VERB'"),
+        (f"{_sql_suffix(lw, _VERB_SUF)} AND {ln} > 4", "'VERB'"),
+        (f"{_sql_suffix(lw, _ADJ_SUF)} AND {ln} > 4", "'ADJ'"),
+        (f"{_sql_suffix(lw, _NOUN_SUF)} AND {ln} > 5", "'NOUN'"),
+    ]
+    whens = " ".join(f"WHEN {c} THEN {v}" for c, v in branches)
+    return f"(CASE {whens} ELSE 'NOUN' END)"

@@ -228,6 +228,118 @@ def _neural_branch(spark: SparkSession, corpus: str,
     return arts, emb, lookup, nnw
 
 
+# ------------------------------------------------- M13: POS skip-gram trainer
+
+def pos_pair_counts(spark: SparkSession, sents, *, window: int = 3):
+    """(center_pos, context_pos) skip-gram pair counts over the UPOS
+    stream of `sents` (a DataFrame with doc_id/sent_id/tokens), as an
+    N_UPOS×N_UPOS numpy matrix.
+
+    The window replicates the reference's build_skip_grams EXACTLY
+    (POS_Embedding.py:60-68), including its asymmetric bound: for
+    center i the context is range(max(0, i-w), min(i+w, n)) — j reaches
+    i-w but only i+w-1. The POS mapping is the generated upos_case_sql
+    CASE (JVM-side, whole-stage codegen). One corpus-scale groupBy with
+    map-side partials into ≤N_UPOS² cells — the count matrix is the
+    sufficient statistic for the full-softmax objective, so the fit
+    itself never touches corpus-scale data. 100 TB shape: the only
+    shuffle carries ≤324 rows per map partition.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .kernel import pos
+
+    toks = sents.select(
+        "doc_id", "sent_id", F.posexplode("tokens").alias("idx", "tok")
+    ).withColumn("p", F.expr(pos.upos_case_sql("tok")))
+    a, b = toks.alias("a"), toks.alias("b")
+    d = F.col("b.idx") - F.col("a.idx")
+    rows = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.sent_id") == F.col("b.sent_id"))
+            & (d != 0) & (d >= -window) & (d <= window - 1),
+        )
+        .groupBy(F.col("a.p").alias("c"), F.col("b.p").alias("o"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = np.zeros((pos.N_UPOS, pos.N_UPOS), dtype=np.float64)
+    for r in rows:
+        counts[pos.UPOS2ID[r["c"]], pos.UPOS2ID[r["o"]]] = r["n"]
+    return counts
+
+
+def fit_pos_skipgram(counts, *, dim: int = 10, steps: int = 400,
+                     lr: float = 0.01, seed: int = 42):
+    """Full-batch deterministic fit of the reference's PosEmbedding
+    skip-gram (POS_Embedding.py:44-57,105-135: embedding → linear(no
+    bias) → log_softmax, NLLLoss, Adam lr 0.01) on the pair-count
+    matrix. Full-batch on the sufficient statistic is the epoch-SGD
+    objective without sampling noise; the reference's 0.5 dropout is a
+    regularizer for its 18-param-per-row model and is omitted here for
+    determinism (documented deviation). Returns (emb float32 (V,dim),
+    losses) with loss = mean NLL per observed pair, recorded every 50
+    steps.
+    """
+    import numpy as np
+
+    V = counts.shape[0]
+    total = counts.sum()
+    rng = np.random.default_rng(seed)
+    lim_e = np.sqrt(6.0 / (V + dim))
+    emb = rng.uniform(-lim_e, lim_e, size=(V, dim))
+    lim_f = np.sqrt(6.0 / (dim + V))
+    fc = rng.uniform(-lim_f, lim_f, size=(dim, V))
+    if total == 0:
+        return emb.astype(np.float32), [0.0]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    m = {"e": np.zeros_like(emb), "f": np.zeros_like(fc)}
+    v = {"e": np.zeros_like(emb), "f": np.zeros_like(fc)}
+    row_tot = counts.sum(axis=1, keepdims=True)
+    losses: list[float] = []
+    for t in range(1, steps + 1):
+        logits = emb @ fc
+        z = logits - logits.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        logp = z - np.log(p.sum(axis=1, keepdims=True))
+        p /= p.sum(axis=1, keepdims=True)
+        if t == 1 or t % 50 == 0 or t == steps:
+            losses.append(float(-(counts * logp).sum() / total))
+        g = (p * row_tot - counts) / total
+        grads = {"e": g @ fc.T, "f": emb.T @ g}
+        for k, w in (("e", emb), ("f", fc)):
+            m[k] = b1 * m[k] + (1 - b1) * grads[k]
+            v[k] = b2 * v[k] + (1 - b2) * grads[k] ** 2
+            w -= lr * (m[k] / (1 - b1**t)) / (np.sqrt(v[k] / (1 - b2**t)) + eps)
+    return emb.astype(np.float32), losses
+
+
+def train_pos_embeddings(spark: SparkSession, corpus: str = "dnrti", *,
+                         dim: int = 10, window: int = 3, steps: int = 400,
+                         lr: float = 0.01, seed: int = 42):
+    """M13 end-to-end: POS skip-gram embedding table (N_UPOS, dim) from
+    ALL corpus splits — the reference trains on train+valid+test posid
+    sequences (POS_Embedding.py:26-36; labels never read). Drop the
+    result into build_weights() output as w['pos_emb'] to replace the
+    random init (TaggerKernel consumes it in the M2 feature fusion).
+    """
+    from .operators import conll
+
+    cfg = CORPORA[corpus]
+    sents = None
+    for split in ("train", "valid", "test"):
+        path = os.path.join(cfg["path"], f"{split}.txt")
+        if os.path.exists(path):
+            df = conll.read_conll(spark, path).select("doc_id", "sent_id", "tokens")
+            sents = df if sents is None else sents.unionByName(df)
+    counts = pos_pair_counts(spark, sents, window=window)
+    emb, _losses = fit_pos_skipgram(counts, dim=dim, steps=steps, lr=lr, seed=seed)
+    return emb
+
+
 def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
                  epochs: int | None = None) -> tuple[dict, dict, dict]:
     """Fit on the train split → (trained arrays, lexicon, clusters)."""
