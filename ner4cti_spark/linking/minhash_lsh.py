@@ -76,26 +76,6 @@ def surface_shingles(df: DataFrame, text_col: str = "norm", n: int = 3) -> DataF
     )
 
 
-def _minhash(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(etype, surface, shingles[]) → + mh0..mhN minhash columns.
-
-    Min over md5(seed‖shingle) hex strings — a portable minhash family
-    (same construction is expressible in ANSI SQL for the oracle).
-    Computed via explode + groupBy-min with REGULAR expressions: the
-    tempting one-liner `array_min(transform(shingles, s -> md5(...)))`
-    miscompiles under Spark 4.1 whole-stage codegen when several such
-    lambdas share a select (lambda-variable binding is plan-dependent —
-    observed returning different minhashes for identical input across
-    otherwise-identical runs)."""
-    exploded = sh.select("etype", "surface", F.explode("shingles").alias("s"))
-    return exploded.groupBy("etype", "surface").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("s")))).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ]
-    )
-
-
 def candidate_pairs_sql(
     surfaces: DataFrame,
     sim_threshold: float = 0.5,
@@ -104,19 +84,39 @@ def candidate_pairs_sql(
 ) -> DataFrame:
     """surfaces(etype, surface) → pairs (etype, surface_a, surface_b, jaccard).
 
-    Plan shape at scale: shingle prep is a narrow map; the only shuffle is
-    the band-bucket self-join (grouped on short md5-derived keys, so
-    bucket cardinality is high and skew low); exact Jaccard re-score uses
-    the already-carried shingle arrays — no second join.
+    Plan shape at scale — exactly THREE shuffles: the minhash groupBy,
+    the band-bucket self-join (short md5-derived keys → high bucket
+    cardinality, low skew), and the final pair dedup. The shingle SET is
+    carried through the minhash aggregation (collect_set alongside the
+    12 mins), so the exact-Jaccard re-score reads arrays both join sides
+    already carry — no re-join against the shingle table, and no
+    defensive distinct()s: exact-duplicate input surfaces collapse at
+    the groupBy, and pairs meeting in several buckets collapse at the
+    final dedup (their per-row jaccard is identical by construction).
+
+    Minhash = min over md5(seed‖shingle) hex strings — a portable family
+    (expressible in ANSI SQL for the oracle). Computed via explode +
+    groupBy-min with REGULAR expressions: the tempting one-liner
+    `array_min(transform(shingles, s -> md5(...)))` miscompiles under
+    Spark 4.1 whole-stage codegen when several such lambdas share a
+    select (lambda-variable binding is plan-dependent — observed
+    returning different minhashes for identical input across
+    otherwise-identical runs).
     """
     base = (
         surfaces.select("etype", "surface")
         .filter(F.col("etype").isin(*FUZZY_ETYPES))
-        .distinct()
         .withColumn("norm", normalize_surface(F.col("surface")))
     )
     sh = surface_shingles(base).select("etype", "surface", "shingles")
-    mh = _minhash(sh, n_hashes)
+    exploded = sh.select("etype", "surface", F.explode("shingles").alias("s"))
+    mh = exploded.groupBy("etype", "surface").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"h{i}:"), F.col("s")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+        F.collect_set("s").alias("shingles"),
+    )
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -125,10 +125,10 @@ def candidate_pairs_sql(
             for b in range(n_bands)
         ]
     )
-    bucketed = mh.select("etype", "surface", F.explode(bands).alias("bucket")).distinct()
+    bucketed = mh.select("etype", "surface", "shingles", F.explode(bands).alias("bucket"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -139,23 +139,15 @@ def candidate_pairs_sql(
             F.col("a.etype").alias("etype"),
             F.col("a.surface").alias("surface_a"),
             F.col("b.surface").alias("surface_b"),
-        )
-        .dropDuplicates(["etype", "surface_a", "surface_b"])
-    )
-    sa = sh.select("etype", F.col("surface").alias("surface_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select("etype", F.col("surface").alias("surface_b"), F.col("shingles").alias("sh_b"))
-    pairs = (
-        cand.join(sa, ["etype", "surface_a"])
-        .join(sb, ["etype", "surface_b"])
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            (
+                F.size(F.array_intersect("a.shingles", "b.shingles"))
+                / F.size(F.array_union("a.shingles", "b.shingles"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= sim_threshold)
+        .dropDuplicates(["etype", "surface_a", "surface_b"])
         .select("etype", "surface_a", "surface_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return pairs
 
 
 def candidate_pairs_ml(surfaces: DataFrame, sim_threshold: float = 0.5) -> DataFrame:
