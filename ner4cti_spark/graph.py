@@ -49,7 +49,14 @@ def build_triples(linked: DataFrame, entities: DataFrame) -> DataFrame:
     make Spark recompute the mention↔alias join once per family (the
     join output is not materialized), tripling the dominant read at
     corpus scale. Only the per-sentence co-occurrence aggregation needs
-    a second pass (different shape: groupBy sentence)."""
+    a second pass (different shape: groupBy sentence).
+
+    Determinism contract: the (subj, pred, obj) SET is deterministic
+    (asserted by test_parallelism_invariance); the provenance columns
+    on a deduplicated triple come from an arbitrary witness mention
+    (dropDuplicates keeps the first row per key in partition order), so
+    repo/commit/sha256 may differ between runs for triples with
+    multiple witnesses."""
     m = linked
     fam = F.array(
         F.struct(
