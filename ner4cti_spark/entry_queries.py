@@ -516,22 +516,42 @@ def q_pos_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`range(max(0, i-w), min(i+w, n))` — j reaches i-3 but only i+2).
 
     The ≤18×18 output is the sufficient statistic for the full-softmax
-    skip-gram fit (training.train_pos_embeddings): one corpus-scale
-    groupBy with map-side partials into 324 cells — the 100 TB shape.
+    skip-gram fit (training.train_pos_embeddings).
+
+    Plan shape (r6): pair generation is ARRAY-LOCAL per document — the
+    POS array is built once per doc and (center, context) pairs come
+    from a nested transform over in-window index pairs, so the ONLY
+    Exchange in the plan is the ≤324-cell aggregation (map-side
+    partials). The previous exploded-token self-join shuffled the whole
+    corpus through a join exchange before the tiny groupBy — at 100 TB
+    the difference between one full-corpus shuffle and zero
+    (tests/test_plans.py asserts the join-free plan). Window semantics
+    are unchanged: j - i ∈ [-3, 2], j ≠ i, document as the sequence
+    unit. Equivalence with the oracle's posexplode+join form: split()
+    on \\s+ only yields empty tokens at the string edges, so dropping
+    them shifts every surviving index by the same constant and index
+    DIFFERENCES — all the window sees — are preserved.
     """
     from .kernel.pos import upos_case_sql
 
-    toks = _tokens(spark, sf_dir).withColumn("pos", F.expr(upos_case_sql("word")))
-    a, b = toks.alias("a"), toks.alias("b")
-    d = F.col("b.idx") - F.col("a.idx")
-    pairs = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id")) & (d != 0)
-        & (d >= -3) & (d <= 2),
-    ).select(F.col("a.pos").alias("center_pos"), F.col("b.pos").alias("context_pos"))
-    return pairs.groupBy("center_pos", "context_pos").agg(
-        F.count(F.lit(1)).alias("n")
+    docs = load(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    ps = docs.select(ws.alias("ws")).selectExpr(
+        f"transform(ws, x -> {upos_case_sql('x')}) AS ps"
     )
+    pairs = ps.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (c, i) -> "
+                "transform(filter(sequence(greatest(i - 3, 0), "
+                "least(i + 2, size(ps) - 1)), j -> j != i), "
+                "j -> struct(c AS center_pos, ps[j] AS context_pos))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.center_pos", "p.context_pos").groupBy(
+        "center_pos", "context_pos"
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 def _sql_pos_skipgram_pairs() -> str:

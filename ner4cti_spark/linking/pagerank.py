@@ -12,11 +12,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .components import DRIVER_THRESHOLD
+
 
 def pagerank(edges: DataFrame, damping: float = 0.85, n_iter: int = 15,
-             n_partitions: int = 8) -> DataFrame:
+             n_partitions: int = 8,
+             driver_threshold: int = DRIVER_THRESHOLD) -> DataFrame:
     """edges(src long, dst long) directed → (node long, rank double),
-    ranks summing to ~1. Undirected graphs: pass both directions."""
+    ranks summing to ~1. Undirected graphs: pass both directions.
+
+    Physical strategy is size-adaptive, same discipline as
+    components.connected_components: the graphs this engine ranks are
+    vocabulary-sized (entity co-occurrence over distinct canonical
+    surfaces), orders of magnitude below corpus scale. Up to
+    `driver_threshold` edges one probe job collects the edge list and
+    the power iteration runs as numpy vector ops in milliseconds —
+    n_iter distributed rounds of join+agg+checkpoint latency buy
+    nothing there (measured r6: 5.7s → ~0.5s on the 1000-node oracle
+    graph, ~8 serialized jobs per iteration eliminated). Above the
+    threshold the distributed join+aggregation loop runs unchanged.
+    Both paths compute the identical recurrence
+    rank = (1-d)/n + d*(inflow + dangling/n); consumers round at 1e-6
+    (oracle query) / 1e-8 (entity ranks), which absorbs float
+    summation-order differences exactly as it already must between
+    Spark's nondeterministic shuffle-merge order and the DuckDB oracle.
+    """
+    rows = edges.select("src", "dst").limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
+        return _driver_pagerank(edges.sparkSession, rows, damping, n_iter)
+    return _distributed_pagerank(edges, damping, n_iter, n_partitions)
+
+
+def _driver_pagerank(spark, rows, damping: float, n_iter: int) -> DataFrame:
+    """numpy power iteration on a collected edge list — identical
+    recurrence to _distributed_pagerank, vectorized."""
+    import numpy as np
+
+    if not rows:
+        return spark.createDataFrame([], "node long, rank double")
+    src = np.array([r["src"] for r in rows], dtype=np.int64)
+    dst = np.array([r["dst"] for r in rows], dtype=np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    si = np.array([idx[int(v)] for v in src], dtype=np.int64)
+    di = np.array([idx[int(v)] for v in dst], dtype=np.int64)
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    w = 1.0 / deg[si]
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        inflow = np.zeros(n, dtype=np.float64)
+        np.add.at(inflow, di, ranks[si] * w)
+        dangling = 1.0 - inflow.sum()
+        ranks = base + damping * (inflow + dangling / n)
+    out = [(int(v), float(r)) for v, r in zip(nodes, ranks)]
+    return spark.createDataFrame(out, "node long, rank double")
+
+
+def _distributed_pagerank(edges: DataFrame, damping: float, n_iter: int,
+                          n_partitions: int) -> DataFrame:
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -87,6 +87,57 @@ def test_no_cartesian_product_in_pipeline(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_pos_skipgram_pairs_has_no_join_exchange(spark):
+    """r6: POS skip-gram pair generation is array-local per document —
+    the plan must contain NO join (the old exploded-token self-join put
+    a corpus-scale shuffle in front of the ≤324-cell aggregation) and
+    exactly one Exchange: the tiny pair-count groupBy."""
+    from ner4cti_spark.entry_queries import q_pos_skipgram_pairs
+
+    plan = plan_of(q_pos_skipgram_pairs(spark, SF))
+    assert "Join" not in plan, plan
+    # formatted explain lists each operator twice (tree line + detail
+    # header), so exactly one Exchange node == two string occurrences
+    assert plan.count("Exchange") == 2, plan
+    # map-side partial + final aggregate around that single exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_pos_pair_counts_matches_join_form(spark):
+    """The array-local pair generation must count exactly what the
+    reference's window (j-i in [-w, w-1], j != i, per sentence) counts —
+    checked against a brute-force python enumeration."""
+    import numpy as np
+
+    from ner4cti_spark.kernel import pos
+    from ner4cti_spark.training import pos_pair_counts
+
+    sents = spark.createDataFrame(
+        [
+            ("d1", 0, ["The", "attacker", "used", "Mimikatz", "to", "dump", "credentials"]),
+            ("d1", 1, ["APT28", "targeted", "governments"]),
+            ("d2", 0, ["one"]),
+            ("d2", 1, []),
+        ],
+        "doc_id string, sent_id long, tokens array<string>",
+    )
+    w = 3
+    counts = pos_pair_counts(spark, sents, window=w)
+    expected = np.zeros_like(counts)
+    for toks in (
+        ["The", "attacker", "used", "Mimikatz", "to", "dump", "credentials"],
+        ["APT28", "targeted", "governments"],
+        ["one"],
+        [],
+    ):
+        ps = [pos.upos(t) for t in toks]
+        for i in range(len(ps)):
+            for j in range(max(0, i - w), min(i + w, len(ps))):
+                if j != i:
+                    expected[pos.UPOS2ID[ps[i]], pos.UPOS2ID[ps[j]]] += 1
+    assert np.array_equal(counts, expected)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-located join: both sides bucketed on the join key → SortMergeJoin
     with NO shuffle Exchange on either side (the 100 TB repeated-join
