@@ -1119,27 +1119,73 @@ _COS = """(list_dot_product({a}, {b})
            / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"""
 
 
-def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, cent_id, e): nearest cell by cosine. One broadcast join
-    + one map-side-combining argmax agg: max_by over (s, -cent_id) is
-    exactly the row_number(desc s, asc cent_id)=1 pick, without the
-    window's sort shuffle. The vector rides along so downstream stages
-    (mean update, posting-list scoring) need no re-join against emb —
-    one wide shuffle beats an extra join at scale."""
-    sim_vc = _dot(F.col("e"), F.col("c")) / (F.col("ne") * F.col("nc"))
-    return (
-        emb.join(F.broadcast(cent))
-        .select("vec_id", "e", "ne", "cent_id", sim_vc.alias("s"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                "cent_id",
-                F.struct(F.col("s").alias("s"),
-                         (-F.col("cent_id")).alias("tb")),
-            ).alias("cent_id"),
-            F.first("e").alias("e"),
-            F.first("ne").alias("ne"),
-        )
+def _fold_dot(E, C):
+    """Exact replica of _dot's left fold (((0+x0)+x1)+...) for every
+    (row of E) × (row of C) pair, vectorized: one fused multiply/add
+    sweep per dimension k in ascending order reproduces the identical
+    IEEE operation sequence per element, so the doubles are
+    bit-identical to the Spark/DuckDB fold — NOT a BLAS matmul, whose
+    blocked summation order would drift in the last ulps and could
+    flip argmax ties."""
+    import numpy as np
+
+    acc = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
+    for k in range(E.shape[1]):
+        acc += E[:, k, None] * C[None, :, k]
+    return acc
+
+
+def _fold_norm(vec) -> float:
+    """_norm's fold (sum of squares left-to-right, then sqrt) on one
+    python list — bit-identical to the Spark column expression."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += x * x
+    return math.sqrt(s)
+
+
+def _ivf_assign(emb: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, cent_id, e, ne): nearest cell by cosine, tie → lowest
+    cent_id. `cents` is the driver-side [(cent_id, vector), ...] list
+    (C×dim doubles — the same payload the Lloyd loop already holds).
+
+    r6: the per-pair cosine runs as a numpy kernel inside mapInPandas
+    (guide §4.2) instead of interpreted zip_with/aggregate lambdas —
+    the O(n·C·dim) fold was the dominant cost of the whole IVF query
+    (interpreted higher-order functions get no codegen). Arithmetic is
+    a bit-exact replica of the column-expression version (_fold_dot /
+    _fold_norm docstrings), and np.argmax's first-max tie-break equals
+    the old max_by(struct(s, -cent_id)) pick, so assignments — and
+    therefore centroids, posting lists and the oracle hash — are
+    unchanged. The Python crossing ships only (vec_id, e, ne), which
+    the similarity math needs anyway; no broadcast join, no argmax
+    aggregation — the map is pipelined with no exchange at all."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(cents)  # ascending cent_id → argmax tie = lowest id
+    cent_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([list(c) for _, c in cents], dtype=np.float64)
+    nc = np.array([_fold_norm(c) for _, c in cents], dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["e"]])
+            ne = pdf["ne"].to_numpy(dtype=np.float64)
+            S = _fold_dot(E, C) / (ne[:, None] * nc[None, :])
+            best = np.argmax(S, axis=1)
+            out = pdf[["vec_id", "e", "ne"]].copy()
+            out.insert(1, "cent_id", cent_ids[best])
+            yield out
+
+    return emb.select("vec_id", "e", "ne").mapInPandas(
+        run, "vec_id long, cent_id long, e array<double>, ne double"
     )
 
 
@@ -1181,34 +1227,30 @@ def _ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame, c: int) -> DataFrame:
+def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame, c: int) -> list:
     """Deterministic distributed Lloyd fit of the coarse quantizer:
     init = the C lowest-vec_id vectors (a fixed seed, so both engines
     start identically), then {_IVF_ITERS} iterations of {assign each
-    vector to its nearest centroid via the broadcast table; recompute
-    each cell's element-wise mean with a map-side-combining groupBy}.
-    Per iteration only the C×dim aggregated means come back to the
-    driver (the same shape pyspark.ml's KMeans uses: centroids live on
-    the driver, assignment and the update aggregation are distributed).
-    Means are rounded to 1e-6 so the DuckDB oracle — whose aggregation
-    order differs — reproduces the centroids bit-for-bit. Empty cells
-    keep their previous centroid. emb is the module-cached scan
-    (_ivf_embeddings) — the fit's per-iteration reads and the final
-    search share one persisted copy, with no per-call cache leak."""
-    cent = emb.filter(F.col("vec_id") < c).select(
-        F.col("vec_id").alias("cent_id"), F.col("e").alias("c"),
-        F.col("ne").alias("nc"),
-    )
-    # previous centroids tracked driver-side (C×dim doubles): one
-    # distributed job per iteration (the upd collect), not two
-    prev = {r["cent_id"]: list(r["c"])
-            for r in cent.select("cent_id", "c").collect()}
+    vector to its nearest centroid (numpy kernel, _ivf_assign);
+    recompute each cell's element-wise mean with a map-side-combining
+    groupBy}. Per iteration only the C×dim aggregated means come back
+    to the driver (the same shape pyspark.ml's KMeans uses: centroids
+    live on the driver, assignment and the update aggregation are
+    distributed). Means are rounded to 1e-6 so the DuckDB oracle —
+    whose aggregation order differs — reproduces the centroids
+    bit-for-bit. Empty cells keep their previous centroid. emb is the
+    module-cached scan (_ivf_embeddings) — the fit's per-iteration
+    reads and the final search share one persisted copy. Returns the
+    fitted [(cent_id, vector), ...] list (centroids are driver-side
+    state throughout; callers build whatever table/closure they need)."""
+    prev = {int(r["vec_id"]): list(r["e"])
+            for r in emb.filter(F.col("vec_id") < c)
+                        .select("vec_id", "e").collect()}
     for _ in range(_IVF_ITERS):
-        assign = _ivf_assign(emb, cent)
+        partials = _ivf_update_partials(emb, list(prev.items()))
         upd = (
-            assign.select("cent_id", F.posexplode("e").alias("pos", "v"))
-            .groupBy("cent_id", "pos")
-            .agg((F.floor(F.avg("v") * 1e6 + 0.5) / 1e6).alias("m"))
+            partials.groupBy("cent_id", "pos")
+            .agg((F.floor(F.sum("s") / F.sum("n") * 1e6 + 0.5) / 1e6).alias("m"))
             .groupBy("cent_id")
             .agg(
                 F.transform(
@@ -1219,10 +1261,56 @@ def _ivf_fit_centroids(spark: SparkSession, emb: DataFrame, c: int) -> DataFrame
         )
         new_c = {r["cent_id"]: list(r["c"]) for r in upd.collect()}
         prev = {cid: new_c.get(cid, prev[cid]) for cid in sorted(prev)}
-        cent = spark.createDataFrame(
-            sorted(prev.items()), "cent_id long, c array<double>"
-        ).withColumn("nc", _norm(F.col("c")))
-    return cent
+    return sorted(prev.items())
+
+
+def _ivf_update_partials(emb: DataFrame, cents: list) -> DataFrame:
+    """One fused map stage per Lloyd iteration: nearest-centroid assign
+    (same numpy kernel as _ivf_assign) + PER-PARTITION partial sums of
+    the assigned vectors — (cent_id, pos, s=Σv, n=count) for occupied
+    cells only. The groupBy upstream in _ivf_fit_centroids then merges
+    ≤C×dim×partitions tiny rows into C×dim cells: exactly the partial/
+    final split Spark's avg() performs, minus the posexplode of every
+    vector element through an exchange (guide §2.3 — aggregate before
+    you shuffle). Element arithmetic: np.add.at accumulates rows in
+    partition order, the same per-cell addition sequence the hash-agg
+    partial saw, and the mean Σs/Σn is rounded at 1e-6 like before, so
+    the fitted centroids are unchanged (oracle-verified at 3 SFs)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(cents)
+    cent_ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([list(c) for _, c in cents], dtype=np.float64)
+    nc = np.array([_fold_norm(c) for _, c in cents], dtype=np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        S = np.zeros_like(C)
+        N = np.zeros(len(cents), dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["e"]])
+            ne = pdf["ne"].to_numpy(dtype=np.float64)
+            sims = _fold_dot(E, C) / (ne[:, None] * nc[None, :])
+            best = np.argmax(sims, axis=1)
+            np.add.at(S, best, E)
+            np.add.at(N, best, 1)
+        occ = np.nonzero(N)[0]
+        if len(occ):
+            dim = C.shape[1]
+            yield pd.DataFrame({
+                "cent_id": np.repeat(cent_ids[occ], dim),
+                "pos": np.tile(np.arange(dim, dtype=np.int32), len(occ)),
+                "s": S[occ].ravel(),
+                "n": np.repeat(N[occ], dim),
+            })
+
+    return emb.select("vec_id", "e", "ne").mapInPandas(
+        run, "cent_id long, pos int, s double, n long"
+    )
 
 
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,8 +1326,11 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting lists and results — match exactly."""
     emb = _ivf_embeddings(spark, sf_dir)
     c = _ivf_c(emb.count())
-    cent = _ivf_fit_centroids(spark, emb, c)
-    assign = _ivf_assign(emb, cent)
+    cents = _ivf_fit_centroids(spark, emb, c)
+    cent = spark.createDataFrame(
+        cents, "cent_id long, c array<double>"
+    ).withColumn("nc", _norm(F.col("c")))
+    assign = _ivf_assign(emb, cents)
     queries = emb.filter(
         (F.col("vec_id") >= c) & (F.col("vec_id") < c + 4)
     ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("q"),
