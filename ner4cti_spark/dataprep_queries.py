@@ -58,11 +58,12 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFra
     out = (
         docs
         # small-file parquet arrives as ONE partition, and the shingle
-        # transform is interpreted higher-order-function work (~hundreds
-        # of slice/join ops per doc) — spread it before persisting or the
-        # whole dedup family bottlenecks on one core (same pathology as
-        # the IVF scan; at real scale the scan is many-partition already)
-        .repartition(max(4, spark.sparkContext.defaultParallelism // 2), "doc_id")
+        # transform is interpreted higher-order-function work — spread
+        # it across the full parallelism before persisting or the whole
+        # dedup family bottlenecks on a few cores (r6: //2 → full
+        # defaultParallelism; at real scale the scan is many-partition
+        # already)
+        .repartition(max(4, spark.sparkContext.defaultParallelism), "doc_id")
         .select(
             "doc_id",
             F.array_distinct(
@@ -189,7 +190,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    bucketed = mh.select("doc_id", F.explode(bands).alias("bucket")).distinct()
+    # no .distinct() on the bucket rows (r6): the 4 band hashes carry
+    # distinct "b{b}" prefixes, so a doc cannot emit the same bucket
+    # twice (short of an md5 collision), and the candidate-pair
+    # .distinct() below collapses any multiplicity anyway — the
+    # defensive dedup only added a full shuffle of the bucket table
+    bucketed = mh.select("doc_id", F.explode(bands).alias("bucket"))
     cand = (
         bucketed.alias("a")
         .join(bucketed.alias("b"),
@@ -1215,7 +1221,11 @@ def _ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # small-file parquet arrives as one partition; the per-pair
         # similarity math must spread across cores (at real scale the
-        # scan is many-partition already — this is the local analog)
+        # scan is many-partition already — this is the local analog).
+        # defaultParallelism//2, NOT full: the numpy assign batches
+        # ~n/partitions vectors per task, and at bench scale full
+        # parallelism leaves batches too small to amortize the Python
+        # crossing (measured r6: 2.9s at 16 partitions vs 3.3s at 32)
         .repartition(max(4, spark.sparkContext.defaultParallelism // 2), "vec_id")
         .persist()
     )

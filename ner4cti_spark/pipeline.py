@@ -50,7 +50,15 @@ def extract_mentions(spark: SparkSession, corpus: DataFrame, cfg: PipelineConfig
         sents = lineage.filter_resumable(
             spark, lineage.with_bucket(sents), out_dir, stage="tag"
         )
-    n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism * 2
+    # 1× defaultParallelism, not 2× (r6): the tag kernel is a
+    # mapInPandas whose per-task cost amortizes over batch size — at
+    # 2× the salted repartition halves every Arrow batch for no skew
+    # benefit (hot-repo spreading comes from the SALT, not the
+    # multiplier), measured 8.5 → 7.3s on the sf0.1 pipeline. Scale
+    # posture unchanged: the count tracks cluster parallelism, and
+    # deployments that want finer tasks for straggler smoothing set
+    # cfg.num_partitions explicitly.
+    n_part = cfg.num_partitions or spark.sparkContext.defaultParallelism
     sents = salted_repartition(sents, n_part, cfg.salt_buckets)
     mentions = tag_mentions(
         sents.drop("bucket"), bc, neural_scale=cfg.neural_scale, decode=cfg.decode,
