@@ -251,10 +251,19 @@ SQL_DEDUP_MINHASH = _minhash_sql()
 _SIMHASH_BITS = 16
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document from token md5s: bit b of the hash is
-    the sign of Σ_tokens (2·bit_b(md5(token)) − 1). Same arithmetic in
-    the oracle. Grouping by simhash gives near-dup buckets."""
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, simhash) signature table, one per corpus —
+    module-handle cached (key n == -1 in _SHINGLE_CACHE) so the
+    corpus-scan + 16-way bit-sum aggregation runs ONCE per corpus and
+    BOTH simhash queries (signatures + the banded near-dup detector)
+    and both sides of the detector's band self-join read the cache.
+    r6: previously the cache was populated only inside
+    q_simhash_neardup, so a dedup_simhash → simhash_neardup sequence
+    computed the signature aggregation twice."""
+    key = (spark.sparkContext.applicationId, sf_dir, -1)
+    sim = _SHINGLE_CACHE.get(key)
+    if sim is not None:
+        return sim
     toks = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", r"\s+")).alias("word"))
@@ -268,11 +277,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_SIMHASH_BITS)
         ]
     )
-    sim = None
+    sig = None
     for b in range(_SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+        sig = term if sig is None else sig + term
+    out = bit_sums.select("doc_id", sig.cast("long").alias("simhash")).persist()
+    for old_key, old_df in list(_SHINGLE_CACHE.items()):
+        if old_key[2] == -1:  # evict only simhash entries
+            if old_key[0] == key[0]:
+                old_df.unpersist(blocking=False)
+            del _SHINGLE_CACHE[old_key]
+    _SHINGLE_CACHE[key] = out
+    return out
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from token md5s: bit b of the hash is
+    the sign of Σ_tokens (2·bit_b(md5(token)) − 1). Same arithmetic in
+    the oracle. Grouping by simhash gives near-dup buckets. Reads (and
+    on first call builds) the shared per-corpus signature cache."""
+    return _simhash_sigs(spark, sf_dir)
 
 
 def _simhash_sql() -> str:
@@ -314,21 +338,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor) ≤ 3. Candidate space is the band-bucket collision set
     — never O(n²) — and at corpus scale each of the 4 band joins is an
     ordinary shuffle on a 4-bit-×-band key."""
-    # persisted: the signature aggregation (full corpus scan + 16-way
-    # bit sums) feeds BOTH sides of the band self-join below; without the
-    # cache Spark recomputes it per join side. Module-level handle (same
-    # discipline as _SHINGLE_CACHE): repeated calls reuse one entry
-    # instead of registering a new persisted RDD per call.
-    key = (spark.sparkContext.applicationId, sf_dir, -1)
-    sim = _SHINGLE_CACHE.get(key)
-    if sim is None:
-        sim = q_dedup_simhash(spark, sf_dir).persist()
-        for old_key, old_df in list(_SHINGLE_CACHE.items()):
-            if old_key[2] == -1:  # evict only simhash entries
-                if old_key[0] == key[0]:
-                    old_df.unpersist(blocking=False)
-                del _SHINGLE_CACHE[old_key]
-        _SHINGLE_CACHE[key] = sim
+    sim = _simhash_sigs(spark, sf_dir)  # persisted, shared module cache
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

@@ -74,7 +74,13 @@ def _driver_union_find(edges: DataFrame, rows=None) -> DataFrame:
     spark = edges.sparkSession
     if not out:
         return spark.createDataFrame([], "node long, component long")
-    return spark.createDataFrame(out, "node long, component long")
+    # pandas → Arrow createDataFrame path (r6): the list-of-tuples form
+    # pickles row by row through the JVM gateway; Arrow ships the whole
+    # column batch at once (guide §6 driver-transfer note)
+    import pandas as pd
+
+    pdf = pd.DataFrame(out, columns=["node", "component"]).astype("int64")
+    return spark.createDataFrame(pdf, "node long, component long")
 
 
 def _distributed_cc(edges: DataFrame, max_iter: int, n_partitions: int) -> DataFrame:

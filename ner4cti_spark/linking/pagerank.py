@@ -66,8 +66,11 @@ def _driver_pagerank(spark, rows, damping: float, n_iter: int) -> DataFrame:
         np.add.at(inflow, di, ranks[si] * w)
         dangling = 1.0 - inflow.sum()
         ranks = base + damping * (inflow + dangling / n)
-    out = [(int(v), float(r)) for v, r in zip(nodes, ranks)]
-    return spark.createDataFrame(out, "node long, rank double")
+    # pandas → Arrow createDataFrame (columnar batch, no per-row pickle)
+    import pandas as pd
+
+    pdf = pd.DataFrame({"node": nodes.astype("int64"), "rank": ranks})
+    return spark.createDataFrame(pdf, "node long, rank double")
 
 
 def _distributed_pagerank(edges: DataFrame, damping: float, n_iter: int,

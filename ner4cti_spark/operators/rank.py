@@ -34,7 +34,18 @@ def global_row_number(
     Size-adaptive: at or below `small_threshold` rows a plain global
     window is cheaper (the two-phase plan's extra shuffle + counts
     collect is pure overhead on small inputs); above it, the two-phase
-    range-partitioned plan avoids the single-task window."""
+    range-partitioned plan avoids the single-task window.
+
+    The input is materialized ONCE (localCheckpoint) before the size
+    probe: `df` is typically an aggregation over corpus-scale data
+    (e.g. the vocabulary frequency table), and without the checkpoint
+    the probe count AND every downstream consumer of the ranked output
+    re-ran that full upstream aggregation — token_lookup_fallback paid
+    the corpus scan+agg three times (probe + both broadcast builds of
+    the ranked vocab). The checkpoint stores only the ranked table's
+    input (vocabulary-sized here), and the probe's count is then a
+    cache read."""
+    df = df.localCheckpoint(eager=True)
     probe = df.limit(small_threshold + 1).count()
     if probe <= small_threshold:
         w = W.orderBy(*order)
