@@ -511,9 +511,13 @@ def q_pos_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13 data side (POS_Embedding.py:60-73): (center_pos, context_pos)
     skip-gram pair counts over the rule-based UPOS stream (F4). The POS
     mapping is the generated `upos_case_sql` CASE — JVM-side codegen,
-    shared verbatim with the oracle. Window replicates the reference's
-    build_skip_grams exactly, including its asymmetric bound
-    (`range(max(0, i-w), min(i+w, n))` — j reaches i-3 but only i+2).
+    shared verbatim with the oracle. The window bound replicates the
+    reference's build_skip_grams asymmetry (`range(max(0, i-w),
+    min(i+w, n))` — j reaches i-3 but only i+2), with one stated
+    deviation: this corpus has no sentence segmentation, so the
+    DOCUMENT is the sequence unit here, whereas the reference (and
+    training.pos_pair_counts, which operates on conll sentence rows)
+    windows per sentence.
 
     The ≤18×18 output is the sufficient statistic for the full-softmax
     skip-gram fit (training.train_pos_embeddings).

@@ -391,7 +391,15 @@ def batch_logprob(sents: list[list[str]], members: list[dict],
     per-sentence ones (measured: the branch was 91% of trained tag time
     per-sentence). Exact-length grouping means no padding, so the
     reverse LSTM direction never sees pad steps and the result matches
-    the per-sentence path (parity-tested)."""
+    the per-sentence path (parity-tested).
+
+    Tolerance contract (not bit-identity): float32 GEMM blocking makes
+    the batched member forwards drift ~1e-6 in logits vs the B=1 path;
+    MODE_SCORE fusion multiplies emissions by lam (≤192), amplifying
+    that to ~2e-4 on fused emissions, so a near-exact Viterbi tie can
+    in principle resolve differently between the executor kernel and
+    driver-side decode_sents. The parity test asserts agreement at this
+    tolerance; consumers must not assume stronger."""
     from .tagger import casing_class
 
     out: list[np.ndarray | None] = [None] * len(sents)

@@ -289,6 +289,12 @@ def train_sentence_clf(sents: list[tuple[list[str], list[str]]], phrases: dict,
                     wda += step * t_step * dense[i]
     w_out = (w - wa / max(t_step, 1)).astype(np.float32)
     if want_dense:
+        if dense is None:
+            # every sentence was empty: there is no dense block to fit —
+            # return None instead of a zero-length vector so callers
+            # don't persist a clf_dw whose shape can never match
+            # sent_mean_emb at decode time
+            return w_out, None
         return w_out, (wd - wda / max(t_step, 1)).astype(np.float32)
     return w_out
 

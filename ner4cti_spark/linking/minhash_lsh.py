@@ -94,6 +94,15 @@ def candidate_pairs_sql(
     the groupBy, and pairs meeting in several buckets collapse at the
     final dedup (their per-row jaccard is identical by construction).
 
+    Row-width tradeoff of the carried shingle sets: the band explode
+    replicates each surface's full shingle array 6× into the self-join
+    shuffle on both sides. For the short normalized surfaces this
+    engine links (entity names, tens of chars → tens of 3-gram
+    shingles) that is a few hundred bytes per row and strictly cheaper
+    than the re-join it replaced; if the input ever carries long
+    surfaces (sentence-scale strings), cap or size-check the arrays
+    before re-enabling the carry.
+
     Minhash = min over md5(seed‖shingle) hex strings — a portable family
     (expressible in ANSI SQL for the oracle). Computed via explode +
     groupBy-min with REGULAR expressions: the tempting one-liner

@@ -473,7 +473,9 @@ def train_corpus(spark: SparkSession, corpus: str, *, distributed: bool = False,
             dense=clf_dense,
         )
         if clf_dense is not None:
-            arts["clf_w"], arts["clf_dw"] = clf_out
+            arts["clf_w"], clf_dw = clf_out
+            if clf_dw is not None:  # None ⇔ no non-empty sentence to fit
+                arts["clf_dw"] = clf_dw
         else:
             arts["clf_w"] = clf_out
     if nn_arts is not None:
@@ -490,13 +492,21 @@ def trained_weights(spark: SparkSession, corpus: str, *, refresh: bool = False
     path = os.path.join(ARTIFACT_DIR, f"{corpus}_crf.npz")
     arts = None
     if not refresh and os.path.exists(path):
-        arts, lex, etypes = perceptron.load_artifact(path)
-        if etypes != ls.etypes:
-            # stale cached artifact (label space changed since it was
-            # written): silently decoding with a mismatched label space
-            # would produce wrong tags — retrain instead of asserting
-            # (a bare assert is stripped under python -O)
+        try:
+            arts, lex, etypes = perceptron.load_artifact(path)
+        except ValueError:
+            # pre-r5 object-dtype artifact: allow_pickle=False refuses
+            # it — fall through to retraining exactly like the stale-
+            # etypes branch instead of crashing on the old local cache
             arts = None
+        else:
+            if etypes != ls.etypes:
+                # stale cached artifact (label space changed since it
+                # was written): silently decoding with a mismatched
+                # label space would produce wrong tags — retrain
+                # instead of asserting (a bare assert is stripped
+                # under python -O)
+                arts = None
     if arts is None:
         arts, lex, clusters = train_corpus(spark, corpus)
         arts["_sp_clusters"] = clusters

@@ -408,7 +408,14 @@ def _load_vecs(corpus: str, dim: int = 50, mc: int = 2, it: int = 1,
     if not os.path.exists(path):
         raise SystemExit(
             f"run: python tools/dump_w2v.py {corpus} {dim} {mc} {it} {wn}")
-    z = np.load(path, allow_pickle=False)  # regen cache via dump_w2v if this raises
+    try:
+        z = np.load(path, allow_pickle=False)
+    except ValueError:
+        # stale pre-r5 object-dtype cache file — point at the regen tool
+        # instead of surfacing a bare pickle error
+        raise SystemExit(
+            f"stale /tmp cache; regenerate: "
+            f"python tools/dump_w2v.py {corpus} {dim} {mc} {it} {wn}") from None
     return [str(w) for w in z["words"]], z["vecs"]
 
 
