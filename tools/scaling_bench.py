@@ -29,7 +29,8 @@ from ner4cti_spark.pipeline import PipelineConfig, run_pipeline, broadcast_weigh
 
 spark = get_spark(cores={cores}, shuffle_partitions=max({cores}, 16))
 corpus = generate_corpus(spark, n_docs={n_docs}).localCheckpoint(eager=True)
-cfg = PipelineConfig(num_partitions={cores} * 2, sent_cache=False)
+cfg = PipelineConfig(num_partitions=0, sent_cache=False)  # 0 → the
+# engine default (1x parallelism, r6): measure the shipped config
 bc = broadcast_weights(spark, cfg)  # broadcast ONCE per job (north-star
 # deploy shape); per-trial re-broadcasts would also make reused Python
 # workers rebuild their kernel caches per trial
@@ -79,7 +80,7 @@ N_JVM_RUNS = 2  # independent JVM runs per (cores, n_docs); min taken —
 def _run_once(cores: int, n_docs: int) -> dict:
     code = _RUN_SNIPPET.format(repo=REPO, cores=cores, n_docs=n_docs)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800,
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=7200,
         cwd=REPO,
     )
     for line in out.stdout.splitlines():
@@ -177,7 +178,12 @@ Probe: {json.dumps(probe)}
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
-    sections = [_pair_section(n_docs, 4, 16), _pair_section(n_docs, 8, 32)]
+    # optional pair filter: "4-16", "8-32", or "both" (default). Large
+    # corpora (the tail-amortization evidence) only need the 4-16 pair,
+    # which is also the cleaner executor proxy (see notes below).
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    pair_specs = {"4-16": [(4, 16)], "8-32": [(8, 32)], "both": [(4, 16), (8, 32)]}[which]
+    sections = [_pair_section(n_docs, lo, hi) for lo, hi in pair_specs]
     now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     md = f"""# BENCH baseline — measured on this engine
 
@@ -193,8 +199,7 @@ warm-up pipeline per JVM (single runs on this box vary up to ~30% with
 page-cache state and CPU frequency scaling; the variance is
 between-JVM, so in-JVM trials alone cannot remove it).
 
-{sections[0]}
-{sections[1]}
+{chr(10).join(sections)}
 Target: efficiency >= 0.8 (north_rule) — judged on the
 floor-normalized number: the raw pair divided by the hardware-only
 scaling floor measured by the contention probe in the same session
