@@ -94,7 +94,10 @@ def mode_stage(sf_dir: str) -> None:
     from ner4cti_spark.pipeline import PipelineConfig, broadcast_weights, run_pipeline
 
     spark = _spark()
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    import re
+
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
     n_docs = max(200, int(40000 * sf))
     cfg = PipelineConfig()
     weights_bc = broadcast_weights(spark, cfg)

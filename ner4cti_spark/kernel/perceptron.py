@@ -245,7 +245,7 @@ def train_sentence_clf(sents: list[tuple[list[str], list[str]]], phrases: dict,
                        *, clusters: dict | None = None, epochs: int = 15,
                        seed: int = 7, tau: float = 1.0, pos_w: float = 3.0,
                        dense: list[np.ndarray] | None = None
-                       ) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
+                       ) -> np.ndarray | tuple[np.ndarray, np.ndarray | None]:
     """Averaged margin perceptron over clf_features; label = sentence has
     any non-O gold tag. `pos_w` upweights positive updates (downstream
     span recall depends on gate recall more than gate precision).
@@ -271,7 +271,7 @@ def train_sentence_clf(sents: list[tuple[list[str], list[str]]], phrases: dict,
         dense = [d for (t, _g), d in zip(sents, dense) if t]
         dd = len(dense[0]) if dense else 0
         if not dense:  # every sentence empty: nothing to fit against —
-            dense = None  # train sparse-only, return zero dense weights
+            dense = None  # train sparse-only; dense half returned as None
         wd = np.zeros(dd, dtype=np.float64)
         wda = np.zeros(dd, dtype=np.float64)
     t_step = 0

@@ -44,7 +44,12 @@ def global_row_number(
     the corpus scan+agg three times (probe + both broadcast builds of
     the ranked vocab). The checkpoint stores only the ranked table's
     input (vocabulary-sized here), and the probe's count is then a
-    cache read."""
+    cache read. Lifecycle: the checkpointed RDD is sized to the ranked
+    table (vocabulary-scale here) and is reclaimed by the
+    ContextCleaner once the returned DataFrame is garbage-collected —
+    callers need no explicit unpersist (unlike the module-handle
+    caches, whose corpus-keyed entries outlive any one query and
+    therefore need explicit eviction)."""
     df = df.localCheckpoint(eager=True)
     probe = df.limit(small_threshold + 1).count()
     if probe <= small_threshold:
